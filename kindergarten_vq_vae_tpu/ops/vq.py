@@ -1,0 +1,146 @@
+"""Vector-quantization bottleneck — pure-jnp reference implementation.
+
+Semantics parity with models/shelgon3/VectorQuantizer.py:31-93:
+
+- pairwise L2 via ``|z|^2 + |e|^2 - 2 z @ e^T``      (VectorQuantizer.py:59-61)
+- first-minimum argmin                               (:65; jnp.argmin also
+  returns the first occurrence on ties, matching torch)
+- ``z_q = one_hot @ E``                              (:67-72)
+- loss ``mean((sg[z_q]-z)^2) + beta*mean((z_q-sg[z])^2)``  (:76-77)
+- straight-through ``z_q = z + sg(z_q - z)``         (:80)
+- codebook usage perplexity                          (:84-85)
+- codebook init uniform ±1/n_e or injected k-means values  (:26-29)
+
+This module is the correctness oracle for the fused Pallas kernel
+(ops/vq_pallas.py). It also adds the EMA codebook-update path (van den Oord
+et al. 2017 appendix), which the reference does not have but the build brief
+requires (SURVEY §2.4 ⭐ note).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VQOutput(NamedTuple):
+    loss: jnp.ndarray          # scalar commitment + codebook loss
+    z_q: jnp.ndarray           # (B, S, D) straight-through quantized latents
+    perplexity: jnp.ndarray    # scalar codebook usage perplexity
+    one_hot: jnp.ndarray       # (B*S, n_e) hard assignments
+    indices: jnp.ndarray       # (B, S, 1) code indices (reference shape, :90)
+    counts: jnp.ndarray        # (n_e,) per-code assignment counts (EMA stats)
+    sum_z: jnp.ndarray         # (n_e, D) per-code sum of z (EMA stats)
+
+
+def vector_quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float) -> VQOutput:
+    """Quantize encoder output ``z`` (B, S, D) against ``codebook`` (n_e, D)."""
+    batch, seq_len, d = z.shape
+    n_e = codebook.shape[0]
+    z_flat = z.reshape(-1, d)
+
+    dist = (
+        jnp.sum(z_flat**2, axis=1, keepdims=True)
+        + jnp.sum(codebook**2, axis=1)
+        - 2.0 * z_flat @ codebook.T
+    )
+    indices = jnp.argmin(dist, axis=1)
+    one_hot = jax.nn.one_hot(indices, n_e, dtype=z.dtype)
+    z_q = (one_hot @ codebook).reshape(z.shape)
+
+    loss = jnp.mean((jax.lax.stop_gradient(z_q) - z) ** 2) + beta * jnp.mean(
+        (z_q - jax.lax.stop_gradient(z)) ** 2
+    )
+
+    z_q_ste = z + jax.lax.stop_gradient(z_q - z)
+
+    e_mean = jnp.mean(one_hot, axis=0)
+    perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+
+    counts = jnp.sum(one_hot, axis=0)
+    sum_z = one_hot.T @ jax.lax.stop_gradient(z_flat)
+
+    return VQOutput(
+        loss=loss,
+        z_q=z_q_ste,
+        perplexity=perplexity,
+        one_hot=one_hot,
+        indices=indices.reshape(batch, seq_len, 1),
+        counts=counts,
+        sum_z=sum_z,
+    )
+
+
+def init_codebook(key: jax.Array, n_e: int, e_dim: int, init_values=None) -> jnp.ndarray:
+    """Uniform ±1/n_e init, or injected (k-means) values (VectorQuantizer.py:26-29)."""
+    if init_values is not None:
+        init_values = jnp.asarray(init_values)
+        assert init_values.shape == (n_e, e_dim)
+        return init_values
+    return jax.random.uniform(key, (n_e, e_dim), minval=-1.0 / n_e, maxval=1.0 / n_e)
+
+
+class EMAState(NamedTuple):
+    counts: jnp.ndarray  # (n_e,) EMA of per-code assignment counts
+    means: jnp.ndarray   # (n_e, D) EMA of per-code sums of z
+
+
+def init_ema_state(codebook: jnp.ndarray) -> EMAState:
+    n_e = codebook.shape[0]
+    return EMAState(counts=jnp.ones((n_e,), codebook.dtype), means=codebook.copy())
+
+
+def ema_codebook_update(
+    codebook: jnp.ndarray,
+    state: EMAState,
+    counts: jnp.ndarray,
+    sum_z: jnp.ndarray,
+    decay: float = 0.99,
+    eps: float = 1e-5,
+) -> tuple[jnp.ndarray, EMAState]:
+    """Exponential-moving-average codebook update (VQ-VAE appendix A.1).
+
+    ``counts``/``sum_z`` are the per-batch stats from ``vector_quantize`` or
+    the fused kernel. Laplace smoothing keeps dead codes from collapsing.
+    """
+    new_counts = decay * state.counts + (1.0 - decay) * counts
+    new_means = decay * state.means + (1.0 - decay) * sum_z
+    n = jnp.sum(new_counts)
+    n_e = codebook.shape[0]
+    smoothed = (new_counts + eps) / (n + n_e * eps) * n
+    new_codebook = new_means / smoothed[:, None]
+    return new_codebook, EMAState(counts=new_counts, means=new_means)
+
+
+def kmeans_codebook_init(
+    key: jax.Array, z_flat: jnp.ndarray, n_e: int, n_iters: int = 25
+) -> jnp.ndarray:
+    """K-means codebook initialization over encoder outputs.
+
+    TPU-native replacement for the reference's offline
+    ``scipy.cluster.vq.kmeans2(..., minit='points')``
+    (models/shelgon3/vq_codebook_init_weights.py:76-85): distinct random
+    points init, then Lloyd iterations — all jit-compiled, no host round-trip.
+    """
+    m = z_flat.shape[0]
+    init_idx = jax.random.choice(key, m, (n_e,), replace=False)
+    centroids = z_flat[init_idx]
+
+    def body(_, cent):
+        dist = (
+            jnp.sum(z_flat**2, axis=1, keepdims=True)
+            + jnp.sum(cent**2, axis=1)
+            - 2.0 * z_flat @ cent.T
+        )
+        assign = jnp.argmin(dist, axis=1)
+        oh = jax.nn.one_hot(assign, n_e, dtype=z_flat.dtype)
+        counts = jnp.sum(oh, axis=0)
+        sums = oh.T @ z_flat
+        new_cent = sums / jnp.maximum(counts[:, None], 1.0)
+        # keep empty clusters where they were (kmeans2 'points' behavior keeps
+        # centroids stable when nothing is assigned)
+        return jnp.where(counts[:, None] > 0, new_cent, cent)
+
+    return jax.lax.fori_loop(0, n_iters, body, centroids)

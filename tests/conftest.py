@@ -13,6 +13,13 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The environment may pre-register a TPU backend via sitecustomize and pin
+# jax_platforms to it; override before any backend initialization so the
+# suite runs on the 8-device virtual CPU mesh regardless.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
