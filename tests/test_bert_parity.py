@@ -1,0 +1,189 @@
+"""Golden forward parity: our Flax BERT vs HF transformers torch BERT.
+
+HF models are built from config with random init (no network, no weight
+downloads) and their state_dicts are converted via nn/convert_hf.py — this
+validates both the architecture semantics (post-LN, erf-GELU, causal decoder
+masking, tied MLM head, pooler) and the converter's
+from_encoder_decoder_pretrained behavior (SURVEY §7 hard-part 1).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+from kindergarten_vq_vae_tpu.nn.convert_hf import (
+    convert_decoder_state_dict,
+    convert_encoder_state_dict,
+    init_encoder_decoder,
+)
+
+transformers = pytest.importorskip("transformers")
+import torch  # noqa: E402
+
+
+def _tiny_cfgs():
+    ours = BertConfig(
+        vocab_size=97,
+        hidden_size=32,
+        num_layers=2,
+        num_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=48,
+        hidden_dropout=0.0,
+        attention_dropout=0.0,
+    )
+    hf = transformers.BertConfig(
+        vocab_size=97,
+        hidden_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        intermediate_size=64,
+        max_position_embeddings=48,
+        hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
+    )
+    return ours, hf
+
+
+def _rand_batch(vocab, b=3, s=10, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(1, vocab, (b, s))
+    mask = np.ones((b, s), np.int64)
+    mask[0, -3:] = 0  # ragged padding on one row
+    return ids, mask
+
+
+def test_encoder_parity_with_hf():
+    ours, hf_cfg = _tiny_cfgs()
+    torch.manual_seed(0)
+    hf = transformers.BertModel(hf_cfg).eval()
+    params = convert_encoder_state_dict(hf.state_dict(), ours)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    ids, mask = _rand_batch(ours.vocab_size)
+    with torch.no_grad():
+        ref = hf(torch.as_tensor(ids), attention_mask=torch.as_tensor(mask))
+    out = BertModel(ours).apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask))
+
+    np.testing.assert_allclose(
+        np.asarray(out["last_hidden_state"]), ref.last_hidden_state.numpy(), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["pooler_output"]), ref.pooler_output.numpy(), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_decoder_parity_with_hf():
+    """Causal self-attn + cross-attn + tied MLM head, vs HF BertLMHeadModel."""
+    ours, hf_cfg = _tiny_cfgs()
+    import dataclasses
+
+    ours = dataclasses.replace(ours, is_decoder=True, add_cross_attention=True, add_pooler=False)
+    hf_cfg.is_decoder = True
+    hf_cfg.add_cross_attention = True
+    torch.manual_seed(1)
+    hf = transformers.BertLMHeadModel(hf_cfg).eval()
+    params = convert_decoder_state_dict(hf.state_dict(), ours)
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+
+    ids, mask = _rand_batch(ours.vocab_size, seed=1)
+    rng = np.random.default_rng(2)
+    enc_hidden = rng.normal(size=(3, 10, ours.hidden_size)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = hf(
+            torch.as_tensor(ids),
+            attention_mask=torch.as_tensor(mask),
+            encoder_hidden_states=torch.as_tensor(enc_hidden),
+            output_attentions=True,
+        )
+    out = BertLMHeadModel(ours).apply(
+        {"params": params},
+        jnp.asarray(ids),
+        jnp.asarray(mask),
+        encoder_hidden_states=jnp.asarray(enc_hidden),
+        output_attentions=True,
+    )
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref.logits.numpy(), rtol=3e-4, atol=3e-5)
+    # attention outputs for the cross-attention analysis suite
+    for j_attn, t_attn in zip(out["cross_attentions"], ref.cross_attentions):
+        np.testing.assert_allclose(np.asarray(j_attn), t_attn.numpy(), rtol=3e-4, atol=3e-5)
+
+
+def test_causal_mask_active_in_decoder():
+    """A future-token change must not affect past logits (causal), but must in
+    encoder mode (bidirectional)."""
+    ours, _ = _tiny_cfgs()
+    import dataclasses
+
+    dec_cfg = dataclasses.replace(ours, is_decoder=True, add_cross_attention=True, add_pooler=False)
+    key = jax.random.key(0)
+    _, dec_params = init_encoder_decoder(key, ours, dec_cfg, seq_len=8)
+
+    ids1 = jnp.asarray([[5, 6, 7, 8, 9, 10, 11, 12]])
+    ids2 = ids1.at[0, -1].set(42)
+    mask = jnp.ones_like(ids1)
+    enc_h = jnp.zeros((1, 8, ours.hidden_size))
+
+    model = BertLMHeadModel(dec_cfg)
+    l1 = model.apply({"params": dec_params}, ids1, mask, encoder_hidden_states=enc_h)["logits"]
+    l2 = model.apply({"params": dec_params}, ids2, mask, encoder_hidden_states=enc_h)["logits"]
+    np.testing.assert_allclose(np.asarray(l1[:, :-1]), np.asarray(l2[:, :-1]), atol=1e-6)
+    assert not np.allclose(np.asarray(l1[:, -1]), np.asarray(l2[:, -1]))
+
+
+def test_from_encoder_decoder_pretrained_semantics():
+    """Decoder warm-start from a plain MLM checkpoint: cross-attention keeps
+    fresh init, everything else converts (Bagon.py:25-31 semantics)."""
+    ours, hf_cfg = _tiny_cfgs()
+    import dataclasses
+
+    dec_cfg = dataclasses.replace(ours, is_decoder=True, add_cross_attention=True, add_pooler=False)
+    torch.manual_seed(3)
+    hf_cfg.is_decoder = True
+    hf_cfg.add_cross_attention = True
+    hf = transformers.BertLMHeadModel(hf_cfg)
+    sd = {k: v for k, v in hf.state_dict().items() if "crossattention" not in k}
+
+    key = jax.random.key(7)
+    _, dec_params = init_encoder_decoder(key, ours, dec_cfg, decoder_state_dict=sd, seq_len=8)
+
+    # converted weight matches checkpoint
+    got = np.asarray(dec_params["bert"]["layer_0"]["self_attn"]["out"]["kernel"])
+    want = sd["bert.encoder.layer.0.attention.output.dense.weight"].numpy().T
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    # cross-attention stayed fresh (not from the checkpoint; hf model has its
+    # own random cross-attn weights which we dropped)
+    ca = np.asarray(dec_params["bert"]["layer_0"]["cross_attn"]["q"]["kernel"])
+    hf_ca = hf.state_dict()["bert.encoder.layer.0.crossattention.self.query.weight"].numpy().T
+    assert not np.allclose(ca, hf_ca)
+    assert np.isfinite(ca).all()
+
+
+def test_tied_head_shares_embedding_table():
+    ours, _ = _tiny_cfgs()
+    import dataclasses
+
+    dec_cfg = dataclasses.replace(ours, is_decoder=True, add_cross_attention=True, add_pooler=False)
+    key = jax.random.key(0)
+    _, dec_params = init_encoder_decoder(key, ours, dec_cfg, seq_len=8)
+    # no standalone decoder kernel when tied — logits reuse the embed table
+    assert "decoder_kernel" not in dec_params["mlm_head"]
+
+    table = dec_params["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    ids = jnp.asarray([[1, 2, 3, 4, 5, 6, 7, 8]])
+    mask = jnp.ones_like(ids)
+    enc_h = jnp.zeros((1, 8, ours.hidden_size))
+    logits = BertLMHeadModel(dec_cfg).apply(
+        {"params": dec_params}, ids, mask, encoder_hidden_states=enc_h
+    )["logits"]
+    # scaling the embedding table must scale the logits (shared weights)
+    dec_params2 = jax.tree_util.tree_map(lambda x: x, dec_params)
+    dec_params2["bert"]["embeddings"]["word_embeddings"]["embedding"] = table * 0.0
+    logits2 = BertLMHeadModel(dec_cfg).apply(
+        {"params": dec_params2}, ids, mask, encoder_hidden_states=enc_h
+    )["logits"]
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
