@@ -1,0 +1,8 @@
+from kindergarten_vq_vae_tpu.ckpt.checkpoint import (
+    best_ckpt_name,
+    save_checkpoint,
+    restore_checkpoint,
+    save_train_state,
+    restore_train_state,
+    load_bagon_into_model,
+)

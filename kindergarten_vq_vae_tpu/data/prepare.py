@@ -39,12 +39,14 @@ def clean_dataset(sentences: list[str], labels: np.ndarray, one_hot: np.ndarray)
     sentences_clean: list[str] = []
     labels_clean: list[np.ndarray] = []
     one_hot_clean: list[np.ndarray] = []
+    kept_indices: list[int] = []
     sentinel = np.asarray([[-1] * FACTOR_MAX_SUPPORT])
     cols = list(CLEAN_FACTOR_COLUMNS)
-    for s, lab, oh in zip(sentences, labels, one_hot):
+    for i, (s, lab, oh) in enumerate(zip(sentences, labels, one_hot)):
         if s in seen:
             continue
         seen.add(s)
+        kept_indices.append(i)
         sentences_clean.append(s)
         labels_clean.append(lab[cols])
         padded = np.concatenate((sentinel, oh), axis=0)
@@ -53,6 +55,7 @@ def clean_dataset(sentences: list[str], labels: np.ndarray, one_hot: np.ndarray)
         sentences_clean,
         np.asarray(labels_clean),
         np.asarray(one_hot_clean),
+        np.asarray(kept_indices),
     )
 
 
@@ -145,18 +148,26 @@ def prepare_all(
     labels = np.load(os.path.join(raw_dir, "dSentences_latent_classes_labels.npy"))
 
     one_hot = labels_to_one_hot(labels)
-    sentences_c, labels_c, one_hot_c = clean_dataset(sentences, labels, one_hot)
+    sentences_c, labels_c, one_hot_c, kept = clean_dataset(sentences, labels, one_hot)
     vocab = export_vocab(sentences_c)
     tokenizer = WordTokenizer(vocab)
     max_len = max_length or find_max_encoded_length(sentences_c, tokenizer, add_special_tokens)
     ids, mask = tokenize_corpus(sentences_c, tokenizer, max_len, add_special_tokens)
     word_map = word_to_token_id_map(vocab, tokenizer)
 
+    # 8-factor arrays aligned to the clean (deduped) sentence set, for
+    # Shelgon2 (raw factor 0 dropped, dSentences_labels_to_one_hot.py:13)
+    labels8_c = labels[kept][:, 1:]
+    one_hot8_c = one_hot[kept]
+
     artifacts = {
         "sentences_clean": sentences_c,
         "latent_classes_labels_clean": labels_c,
         "latent_classes_one_hot_clean": one_hot_c,
+        "latent_classes_labels8_clean": labels8_c,
+        "latent_classes_one_hot8_clean": one_hot8_c,
         "latent_classes_one_hot_full": one_hot,
+        "clean_indices": kept,
         "vocab": vocab,
         "input_ids": ids,
         "attention_mask": mask,
@@ -169,6 +180,8 @@ def prepare_all(
         np.save(os.path.join(out_dir, "dSentences_sentences_clean.npy"), np.asarray([s.encode() for s in sentences_c]))
         np.save(os.path.join(out_dir, "dSentences_latent_classes_labels_clean.npy"), labels_c)
         np.save(os.path.join(out_dir, "dSentences_latent_classes_one_hot_clean.npy"), one_hot_c)
+        np.save(os.path.join(out_dir, "dSentences_latent_classes_labels8_clean.npy"), labels8_c)
+        np.save(os.path.join(out_dir, "dSentences_latent_classes_one_hot8_clean.npy"), one_hot8_c)
         np.save(os.path.join(out_dir, "dSentences_latent_classes_one_hot.npy"), one_hot)
         np.save(os.path.join(out_dir, "dSentences_input_ids.npy"), ids)
         np.save(os.path.join(out_dir, "dSentences_attention_mask.npy"), mask)

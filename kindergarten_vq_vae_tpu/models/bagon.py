@@ -1,0 +1,50 @@
+"""Bagon: BERT encoder + BERT-LM-head decoder autoencoder, no bottleneck.
+
+Reference: models/bagon/Bagon.py:15-55. forward(enc_ids, enc_mask, dec_ids,
+dec_mask) = encoder last_hidden_state -> decoder cross-attention -> logits.
+The freezing API (``set_mode``) is functionalized as optimizer masks in
+train/freezing.py instead of mutating requires_grad flags.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+
+
+class Bagon(nn.Module):
+    enc_cfg: BertConfig
+    dec_cfg: BertConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        encoder_input_ids,
+        encoder_attention_mask,
+        decoder_input_ids,
+        decoder_attention_mask,
+        deterministic: bool = True,
+        output_attentions: bool = False,
+    ):
+        enc_out = BertModel(self.enc_cfg, name="encoder")(
+            encoder_input_ids,
+            attention_mask=encoder_attention_mask,
+            deterministic=deterministic,
+        )
+        dec_out = BertLMHeadModel(self.dec_cfg, name="decoder")(
+            decoder_input_ids,
+            attention_mask=decoder_attention_mask,
+            encoder_hidden_states=enc_out["last_hidden_state"],
+            deterministic=deterministic,
+            output_attentions=output_attentions,
+        )
+        out = {
+            "logits": dec_out["logits"],
+            "encoder_last_hidden_state": enc_out["last_hidden_state"],
+            "encoder_pooler_output": enc_out["pooler_output"],
+        }
+        if output_attentions:
+            out["decoder_attentions"] = dec_out["attentions"]
+            out["decoder_cross_attentions"] = dec_out["cross_attentions"]
+        return out

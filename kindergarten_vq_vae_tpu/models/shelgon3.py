@@ -1,0 +1,168 @@
+"""Shelgon3: classic VQ-VAE codebook bottleneck (or Gumbel codebook quantizer).
+
+Reference: models/shelgon3/Shelgon.py:26-73.
+- encoder last_hidden_state -> quantizer -> decoder cross-attends to z_q (:52-71)
+- VectorQuantizer path returns (vq_loss, z_q, perplexity, indices) — here
+  either the pure-jnp oracle or the fused Pallas kernel (config switch).
+- GumbelQuantizer path returns (z_q, kl_diff, indices) with the
+  unique-code-count perplexity proxy (:61-65), computed on-device.
+- warm start from a Bagon checkpoint (:41-45) is handled by
+  ckpt.checkpoint.load_bagon_into_shelgon3 (a pytree merge, not a module
+  concern).
+
+EMA codebook mode (new capability, required by the build brief): when
+``ema_update=True`` the codebook param receives no gradient (it is updated
+by train.engine via ops.vq.ema_codebook_update from the kernel's
+counts/sum_z statistics) and the VQ loss reduces to the commitment term.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_quantize, unique_count_perplexity
+from kindergarten_vq_vae_tpu.ops.vq import vector_quantize
+from kindergarten_vq_vae_tpu.ops.vq_pallas import fused_vector_quantize
+
+
+class VectorQuantizerModule(nn.Module):
+    n_e: int
+    e_dim: int
+    beta: float
+    use_fused: bool = True
+    ema_update: bool = False
+    init_values: Optional[jnp.ndarray] = None
+
+    @nn.compact
+    def __call__(self, z):
+        def _init(key, shape, dtype=jnp.float32):
+            if self.init_values is not None:
+                return jnp.asarray(self.init_values, dtype)
+            return jax.random.uniform(key, shape, dtype, -1.0 / self.n_e, 1.0 / self.n_e)
+
+        codebook = self.param("codebook", _init, (self.n_e, self.e_dim))
+        if self.ema_update:
+            # codebook is trained by EMA statistics, not by gradient
+            codebook = jax.lax.stop_gradient(codebook)
+        quantize = fused_vector_quantize if self.use_fused else vector_quantize
+        return quantize(z, codebook, self.beta)
+
+
+class GumbelQuantizerModule(nn.Module):
+    enc_out_size: int
+    n_embed: int
+    embedding_dim: int
+    temperature: float
+    kl_div_scale: float
+    straight_through: bool
+
+    @nn.compact
+    def __call__(self, z, is_training: bool):
+        init = nn.initializers.normal(0.02)
+        proj_kernel = self.param("proj_kernel", init, (self.enc_out_size, self.n_embed))
+        proj_bias = self.param("proj_bias", nn.initializers.zeros, (self.n_embed,))
+        codebook = self.param("codebook", init, (self.n_embed, self.embedding_dim))
+        key = self.make_rng("gumbel")
+        return gumbel_quantize(
+            key,
+            z,
+            proj_kernel,
+            proj_bias,
+            codebook,
+            self.temperature,
+            self.kl_div_scale,
+            self.straight_through,
+            is_training,
+        )
+
+
+class Shelgon3(nn.Module):
+    enc_cfg: BertConfig
+    dec_cfg: BertConfig
+    vq_mode: str = "VectorQuantizer"  # or "GumbelQuantizer"
+    vq_n_e: int = 9
+    vq_e_dim: int = 768
+    vq_beta: float = 0.69
+    vq_temperature: float = 1.0
+    vq_kl_div_scale: float = 5e-4
+    vq_straight_through: bool = False
+    vq_use_fused: bool = True
+    vq_ema_update: bool = False
+    vq_init_values: Optional[jnp.ndarray] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids,
+        attention_mask,
+        deterministic: bool = True,
+        is_training: bool = False,
+        output_attentions: bool = False,
+    ):
+        enc_out = BertModel(self.enc_cfg, name="encoder")(
+            input_ids, attention_mask=attention_mask, deterministic=deterministic
+        )
+        embeds = enc_out["last_hidden_state"]
+        assert embeds.shape[-1] == self.vq_e_dim, (
+            "embedding dim of encoder output must match e_dim"  # Shelgon.py:54
+        )
+
+        if self.vq_mode == "VectorQuantizer":
+            vq = VectorQuantizerModule(
+                n_e=self.vq_n_e,
+                e_dim=self.vq_e_dim,
+                beta=self.vq_beta,
+                use_fused=self.vq_use_fused,
+                ema_update=self.vq_ema_update,
+                init_values=self.vq_init_values,
+                name="vector_quantizer",
+            )(embeds)
+            z_q = vq.z_q
+            vq_loss = vq.loss
+            perplexity = vq.perplexity
+            indices = vq.indices
+            ema_stats = {"counts": vq.counts, "sum_z": vq.sum_z}
+        elif self.vq_mode == "GumbelQuantizer":
+            out = GumbelQuantizerModule(
+                enc_out_size=self.enc_cfg.hidden_size,
+                n_embed=self.vq_n_e,
+                embedding_dim=self.vq_e_dim,
+                temperature=self.vq_temperature,
+                kl_div_scale=self.vq_kl_div_scale,
+                straight_through=self.vq_straight_through,
+                name="gumbel_quantizer",
+            )(embeds, is_training)
+            z_q = out.z_q
+            vq_loss = out.diff
+            # unique-count proxy (Shelgon.py:65), on-device
+            perplexity = unique_count_perplexity(out.indices, self.vq_n_e)
+            indices = out.indices[..., None]
+            ema_stats = None
+        else:
+            raise ValueError(f"{self.vq_mode} vector quantizer mode NOT supported")
+
+        dec_out = BertLMHeadModel(self.dec_cfg, name="decoder")(
+            input_ids,
+            attention_mask=attention_mask,
+            encoder_hidden_states=z_q,
+            deterministic=deterministic,
+            output_attentions=output_attentions,
+        )
+        result = {
+            "logits": dec_out["logits"],
+            "vq_loss": vq_loss,
+            "perplexity": perplexity,
+            "min_encoding_indices": indices,
+            "z_q": z_q,
+            "encoder_last_hidden_state": embeds,
+            "ema_stats": ema_stats,
+        }
+        if output_attentions:
+            result["decoder_attentions"] = dec_out["attentions"]
+            result["decoder_cross_attentions"] = dec_out["cross_attentions"]
+        return result

@@ -1,0 +1,178 @@
+"""First-class, versioned run configuration.
+
+The reference's config is a gitignored ``config.py`` star-imported by every
+main (models/*/main.py:1, SURVEY §0 caveat) — the schema only exists
+implicitly. Here it is an explicit dataclass tree covering the full
+reconstructed surface (SURVEY §2.8), serializable to the ``run_conf.json``
+contract the analyses read back (snake_case keys,
+analyses/latent_traversals/...py:48-51).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "./data/dSentences"
+    # artifact names inside data_dir (ref DATASET_PATH / *_PATH config keys)
+    sentences_file: str = "dSentences_sentences_clean.npy"
+    labels_file: str = "dSentences_latent_classes_labels_clean.npy"
+    one_hot_file: str = "dSentences_latent_classes_one_hot_clean.npy"
+    input_ids_file: str = "dSentences_input_ids.npy"
+    attention_mask_file: str = "dSentences_attention_mask.npy"
+    tokenizer_file: str = "dSentences_tokenizer.json"
+    train_split_pct: float = 0.6
+    val_split_pct: float = 0.2
+    batch_size: int = 256
+    lim_batches_train_pct: float = 1.0
+    lim_batches_val_pct: float = 1.0
+    lim_batches_test_pct: float = 1.0
+    tokenizer_add_special_tokens: bool = True
+    tokenized_sentence_max_length: int = 12
+    generate_if_missing: bool = True  # synthesize the corpus when artifacts absent
+
+
+@dataclass
+class ModelConfig:
+    model_name: str = "bagon"  # bagon | shelgon | shelgon2 | shelgon3
+    encoder_model_name: str = "bert-base-uncased"
+    decoder_model_name: str = "bert-base-uncased"
+    model_mode: str = "full"  # full | dec-head-ft | enc-head-ft-dec-head-ft | vq-ft
+    cross_attn_make_trainable: bool = True
+    # BERT geometry (bert-base defaults; shrink for tests/smoke runs)
+    vocab_size: int = 30522
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    hidden_dropout: float = 0.1
+    attention_dropout: float = 0.1
+    tie_word_embeddings: bool = True
+    compute_dtype: str = "bfloat16"  # MXU-native; 'float32' for parity checks
+    # shelgon (latent-class bottleneck)
+    emb_size: int = 768
+    num_latent_classes: int = 5
+    num_labels_per_class: int = 3
+    use_mask_encoder: bool = True
+    use_mask_decoder: bool = True
+    # shelgon2 (per-factor discretizers)
+    word_embedding_size: int = 768
+    num_latent_gen_factors: int = 8
+    mask_pct_train: float = 0.0
+    mask_pct_val: float = 0.0
+    mask_pct_test: float = 0.0
+    # shelgon3 (VQ / Gumbel codebook)
+    vq_mode: str = "VectorQuantizer"
+    vq_n_e: int = 9
+    vq_e_dim: int = 768
+    vq_beta: float = 0.69
+    vq_codebook_init_values_path: Optional[str] = None
+    enc_out_size: int = 768
+    vq_temperature: float = 1.0
+    vq_kl_div_scale: float = 5e-4
+    vq_straight_through: bool = False
+    vq_use_fused: bool = True            # fused Pallas kernel vs jnp oracle
+    vq_ema_update: bool = False          # EMA codebook path (new capability)
+    vq_ema_decay: float = 0.99
+    from_pretrained_bagon: Optional[str] = None
+    # pretrained warm start (local HF torch checkpoint path; optional)
+    hf_encoder_checkpoint: Optional[str] = None
+    hf_decoder_checkpoint: Optional[str] = None
+
+
+@dataclass
+class OptimConfig:
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    amsgrad: bool = True
+    lr_scheduler: Optional[str] = None  # None | "MultiStepLR"
+    milestones: tuple = ()
+    gamma: float = 0.1
+    loss_recon_rescale_factor: float = 1.0
+    loss_recon_weight: float = 1.0
+    loss_latent_rescale_factor: float = 1.0
+    loss_latent_weight: float = 1.0
+    loss_vq_rescale_factor: float = 1.0
+    loss_vq_weight: float = 1.0
+    loss_perp_rescale_factor: float = 1.0
+    loss_perp_weight: float = 1.0
+
+
+@dataclass
+class RunConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    n_epochs: int = 10
+    n_epochs_to_decode_after: int = 5
+    runs_dir: str = "./runs"
+    export_checkpoint: bool = True
+    seed: int = 0
+    # input perturbation (ref {ENCODER,DECODER}_PERTURB_{...}_PCT)
+    encoder_perturb_train_pct: float = 0.0
+    encoder_perturb_val_pct: float = 0.0
+    encoder_perturb_test_pct: float = 0.0
+    decoder_perturb_train_pct: float = 0.0
+    decoder_perturb_val_pct: float = 0.0
+    decoder_perturb_test_pct: float = 0.0
+    # observability
+    wandb_project_name: str = "kindergarten-vq-vae-tpu"
+    wandb_group: str = ""
+    wandb_job_type: str = "train"
+    wandb_mode: str = "disabled"
+    wandb_silent: str = "true"
+    wandb_watch_model: bool = False
+    wandb_log_code: bool = False
+    # parallelism (TPU-native; the reference has none, SURVEY §5.8)
+    mesh_shape: tuple = ()        # e.g. (8,) dp or (4, 2) dp x tp
+    mesh_axis_names: tuple = ()   # e.g. ("dp",) or ("dp", "tp")
+
+    def get_config(self) -> dict:
+        """Flat snake_case dict for run_conf.json (reference contract:
+        models/bagon/main.py:102-111; analyses read these keys back)."""
+        out = {}
+        for section in (self.model, self.data, self.optim):
+            out.update(dataclasses.asdict(section))
+        for f in dataclasses.fields(self):
+            if f.name in ("model", "data", "optim"):
+                continue
+            out[f.name] = getattr(self, f.name)
+        out["mesh_shape"] = list(self.mesh_shape)
+        out["mesh_axis_names"] = list(self.mesh_axis_names)
+        out["milestones"] = list(self.optim.milestones)
+        return out
+
+    def save(self, path: str, extra: dict | None = None) -> None:
+        conf = self.get_config()
+        if extra:
+            conf.update(extra)
+        with open(path, "w") as fp:
+            json.dump(conf, fp, default=str)
+
+    @classmethod
+    def load(cls, path: str) -> "RunConfig":
+        with open(path) as fp:
+            conf = json.load(fp)
+        return cls.from_flat_dict(conf)
+
+    @classmethod
+    def from_flat_dict(cls, conf: dict) -> "RunConfig":
+        def pick(dc_cls):
+            names = {f.name for f in dataclasses.fields(dc_cls)}
+            kw = {k: v for k, v in conf.items() if k in names}
+            for k in ("milestones",):
+                if k in kw and isinstance(kw[k], list):
+                    kw[k] = tuple(kw[k])
+            return dc_cls(**kw)
+
+        top_names = {f.name for f in dataclasses.fields(cls)} - {"model", "data", "optim"}
+        top = {k: v for k, v in conf.items() if k in top_names}
+        for k in ("mesh_shape", "mesh_axis_names"):
+            if k in top and isinstance(top[k], list):
+                top[k] = tuple(top[k])
+        return cls(model=pick(ModelConfig), data=pick(DataConfig), optim=pick(OptimConfig), **top)

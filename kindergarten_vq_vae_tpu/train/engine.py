@@ -1,0 +1,357 @@
+"""The shared train/eval engine — one engine, four model configs.
+
+Replaces the reference's four near-identical Trainer.py clones (SURVEY §1,
+§2.5) with a single implementation:
+
+- one jit-compiled ``train_step`` (fwd + loss + bwd + optax update [+ EMA
+  codebook update]) and one ``eval_step`` per stage — the entire hot path is
+  a single XLA program over pre-tokenized static-shape arrays (the reference
+  tokenizes on CPU inside the loop, models/bagon/Trainer.py:79-83);
+- epoch loop contract parity: train loop -> stats -> console -> wandb ->
+  checkpoint; val loop -> same; test() reloads the best-val checkpoint
+  (models/bagon/main.py:142-158) and dumps decoded sentences;
+- stats are accumulated as lazy device scalars (no per-step host sync) and
+  weighted by true batch element counts (fixes SURVEY §2.9.2);
+- val checkpoints gate on val stats (fixes SURVEY §2.9.1 — the reference
+  gates them on train stats; PARITY.md records the divergence);
+- optional wandb (same keys: ``{stage}/loss_recon`` etc.,
+  shelgon3/Trainer.py:204-213) and console epoch lines.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from kindergarten_vq_vae_tpu.ckpt.checkpoint import (
+    best_ckpt_name,
+    load_bagon_into_model,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from kindergarten_vq_vae_tpu.data.dataset import BatchIterator
+from kindergarten_vq_vae_tpu.ops.vq import EMAState, ema_codebook_update, init_ema_state
+from kindergarten_vq_vae_tpu.train.config import RunConfig
+from kindergarten_vq_vae_tpu.train.freezing import trainable_mask
+from kindergarten_vq_vae_tpu.train.optim import make_optimizer
+from kindergarten_vq_vae_tpu.train.variants import (
+    BEST_MODES,
+    CKPT_KEYS,
+    STAT_KEYS,
+    init_params,
+    make_loss_fn,
+)
+from kindergarten_vq_vae_tpu.utils.consts import EXPLICIT_FACTOR_VALUES
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    ema: Optional[EMAState]
+    step: jnp.ndarray
+
+
+def explicit_latent_classes_labels(labels5) -> dict:
+    """Human-readable names for the 5 clean factors
+    (ref models/bagon/Trainer.py:202-246)."""
+    names = list(EXPLICIT_FACTOR_VALUES.keys())
+    out = {}
+    for i, name in enumerate(names):
+        values = EXPLICIT_FACTOR_VALUES[name]
+        idx = int(labels5[i])
+        out[name] = values[idx] if 0 <= idx < len(values) else str(idx)
+    return out
+
+
+class Engine:
+    def __init__(
+        self,
+        cfg: RunConfig,
+        splits: dict,
+        tokenizer=None,
+        run_path: str | None = None,
+        params=None,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.splits = splits
+        self.tokenizer = tokenizer
+        self.run_path = run_path
+        self.mesh = mesh
+        self.model_name = cfg.model.model_name
+
+        key = jax.random.key(cfg.seed)
+        self.params = params if params is not None else init_params(cfg, key)
+        if cfg.model.from_pretrained_bagon:
+            self.params = load_bagon_into_model(self.params, cfg.model.from_pretrained_bagon)
+
+        self.mask = trainable_mask(
+            self.params,
+            cfg.model.model_mode,
+            cross_attn_trainable=cfg.model.cross_attn_make_trainable,
+            tie_word_embeddings=cfg.model.tie_word_embeddings,
+        )
+        self.tx = make_optimizer(cfg.optim, self.mask)
+
+        ema = None
+        if cfg.model.model_name == "shelgon3" and cfg.model.vq_ema_update:
+            ema = init_ema_state(self.params["vector_quantizer"]["codebook"])
+        self.state = TrainState(
+            params=self.params,
+            opt_state=self.tx.init(self.params),
+            ema=ema,
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        self._base_key = jax.random.key(cfg.seed + 1)
+        self._train_step = self._build_train_step()
+        self._eval_steps = {
+            stage: self._build_eval_step(stage) for stage in ("val", "test")
+        }
+        self.decoded_sentences: list[dict] = []
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------ steps
+
+    def _rngs(self, key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        return {"dropout": k1, "gumbel": k2, "perturb": k3}
+
+    def _build_train_step(self):
+        loss_fn = make_loss_fn(self.cfg, "train")
+        tx = self.tx
+        use_ema = self.cfg.model.model_name == "shelgon3" and self.cfg.model.vq_ema_update
+        decay = self.cfg.model.vq_ema_decay
+
+        def step(state: TrainState, batch, key):
+            rngs = self._rngs(key)
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rngs, False
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            ema = state.ema
+            if use_ema:
+                codebook = params["vector_quantizer"]["codebook"]
+                new_cb, ema = ema_codebook_update(
+                    codebook, state.ema, aux["ema_counts"], aux["ema_sum_z"], decay
+                )
+                params = dict(params)
+                vq = dict(params["vector_quantizer"])
+                vq["codebook"] = new_cb
+                params["vector_quantizer"] = vq
+            new_state = TrainState(params, opt_state, ema, state.step + 1)
+            return new_state, aux
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def _build_eval_step(self, stage: str):
+        loss_fn = make_loss_fn(self.cfg, stage)
+
+        def step(params, batch, key):
+            rngs = self._rngs(key)
+            _, aux = loss_fn(params, batch, rngs, True)
+            return aux
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------ loops
+
+    def _iterators(self):
+        d = self.cfg.data
+        return {
+            "train": BatchIterator(
+                self.splits["train"], d.batch_size, shuffle=True, seed=self.cfg.seed,
+                lim_batches_pct=d.lim_batches_train_pct, drop_last=True,
+            ),
+            "val": BatchIterator(
+                self.splits["val"], d.batch_size, lim_batches_pct=d.lim_batches_val_pct
+            ),
+            "test": BatchIterator(
+                self.splits["test"], d.batch_size, lim_batches_pct=d.lim_batches_test_pct
+            ),
+        }
+
+    def _init_best(self):
+        keys = STAT_KEYS[self.model_name]
+        return {
+            k: (np.inf if BEST_MODES.get(k, "min") == "min" else -np.inf)
+            for k in keys
+            if k in BEST_MODES
+        }
+
+    def _update_best(self, best: dict, stats: dict) -> dict:
+        flags = {}
+        for k in best:
+            if BEST_MODES[k] == "min":
+                flags[k] = stats[k] < best[k]
+            else:
+                flags[k] = stats[k] > best[k]
+            if flags[k]:
+                best[k] = stats[k]
+        return flags
+
+    def _put_batch(self, batch):
+        out = {k: v for k, v in batch.items() if k != "index"}
+        if self.mesh is not None:
+            from kindergarten_vq_vae_tpu.parallel.mesh import shard_batch
+
+            out = shard_batch(self.mesh, out)
+        return out
+
+    def _run_stage(self, stage: str, iterator, params, epoch: int, decode: bool):
+        stat_keys = STAT_KEYS[self.model_name]
+        run = {k: jnp.zeros((), jnp.float32) for k in stat_keys}
+        n_els = 0
+        n_steps = 0
+        t0 = time.perf_counter()
+        for i, batch in enumerate(iterator):
+            n_valid = int(batch["n_valid"])
+            stage_id = {"train": 0, "val": 1, "test": 2}[stage]
+            key = jax.random.fold_in(self._base_key, epoch * 1_000_003 + i * 3 + stage_id)
+            device_batch = self._put_batch(batch)
+            if stage == "train":
+                self.state, aux = self._train_step(self.state, device_batch, key)
+                params = self.state.params
+            else:
+                aux = self._eval_steps[stage](params, device_batch, key)
+            for k in stat_keys:
+                scale = 100.0 * n_valid if k == "metric_acc" else float(n_valid)
+                if k == "padding_tokens_pct":
+                    run[k] = run[k] + aux[k]
+                else:
+                    run[k] = run[k] + aux[k] * scale
+            n_els += n_valid
+            n_steps += 1
+            if decode:
+                self._decode_batch(batch, aux, epoch, stage)
+        elapsed = time.perf_counter() - t0
+        stats = {}
+        for k in stat_keys:
+            denom = n_steps if k == "padding_tokens_pct" else max(n_els, 1)
+            stats[k] = float(run[k]) / denom
+        stats["sentences_per_sec"] = n_els / max(elapsed, 1e-9)
+        stats["n_els"] = n_els
+        return stats, params
+
+    def _decode_batch(self, batch, aux, epoch: int, stage: str):
+        if self.tokenizer is None:
+            return
+        input_dec = self.tokenizer.batch_decode(np.asarray(batch["input_ids"]))
+        recon_dec = self.tokenizer.batch_decode(np.asarray(aux["recon_ids"]))
+        accs = np.asarray(aux["acc_per_sentence"])
+        labels = batch.get("labels")
+        n_valid = int(batch["n_valid"])
+        for j in range(n_valid):
+            row = {
+                "epoch": epoch,
+                "stage": stage,
+                "input_sentence": input_dec[j],
+                "recon_sentence": recon_dec[j],
+                "sentence_acc": float(accs[j]),
+            }
+            if labels is not None and labels.shape[1] == 5:
+                row.update(explicit_latent_classes_labels(labels[j]))
+            self.decoded_sentences.append(row)
+
+    # ------------------------------------------------------------------ public
+
+    def fit(self, wandb_run=None, console_print: bool = True):
+        cfg = self.cfg
+        iters = self._iterators()
+        best_train = self._init_best()
+        best_val = self._init_best()
+
+        for epoch in range(1, cfg.n_epochs + 1):
+            iters["train"].set_epoch(epoch)
+            decode = (epoch % cfg.n_epochs_to_decode_after) == 0
+
+            stats_train, _ = self._run_stage("train", iters["train"], None, epoch, decode)
+            flags_train = self._update_best(best_train, stats_train)
+            self._log_epoch(epoch, "train", stats_train, flags_train, wandb_run, console_print)
+            self._checkpoint(flags_train, "train")
+
+            stats_val, _ = self._run_stage("val", iters["val"], self.state.params, epoch, decode)
+            # FIXED vs reference: gate val checkpoints on val stats (§2.9.1)
+            flags_val = self._update_best(best_val, stats_val)
+            self._log_epoch(epoch, "val", stats_val, flags_val, wandb_run, console_print)
+            self._checkpoint(flags_val, "val")
+
+            self.history.append({"epoch": epoch, "train": stats_train, "val": stats_val})
+        return self.history
+
+    def test(self, wandb_run=None, console_print: bool = True, reload_best: bool = True):
+        """Reference contract: reload best-val loss_recon checkpoint, run the
+        test split, decode everything (models/bagon/main.py:142-158)."""
+        params = self.state.params
+        if reload_best and self.run_path and self.cfg.export_checkpoint:
+            path = os.path.join(
+                self.run_path, best_ckpt_name(self.model_name, "loss_recon", "val")
+            )
+            if os.path.exists(path):
+                params = restore_checkpoint(path, self.state.params)
+        iters = self._iterators()
+        stats, _ = self._run_stage("test", iters["test"], params, self.cfg.n_epochs, True)
+        flags = {k: False for k in self._init_best()}
+        self._log_epoch(self.cfg.n_epochs, "test", stats, flags, wandb_run, console_print)
+        self.history.append({"epoch": self.cfg.n_epochs, "test": stats})
+        return stats
+
+    def dump_decoded_sentences(self):
+        """decoded_sentences.feather parity (models/bagon/main.py:159-160),
+        with a jsonl fallback when pyarrow is unavailable."""
+        if not self.run_path:
+            return None
+        try:
+            import pandas as pd
+
+            df = pd.DataFrame(self.decoded_sentences)
+            path = os.path.join(self.run_path, "decoded_sentences.feather")
+            df.to_feather(path)
+            return path
+        except Exception:
+            path = os.path.join(self.run_path, "decoded_sentences.jsonl")
+            with open(path, "w") as f:
+                for row in self.decoded_sentences:
+                    f.write(json.dumps(row) + "\n")
+            return path
+
+    # ------------------------------------------------------------------ intern
+
+    def _checkpoint(self, flags: dict, stage: str):
+        if not (self.run_path and self.cfg.export_checkpoint):
+            return
+        for stat in CKPT_KEYS[self.model_name]:
+            if flags.get(stat):
+                path = os.path.join(self.run_path, best_ckpt_name(self.model_name, stat, stage))
+                save_checkpoint(path, self.state.params)
+
+    def _log_epoch(self, epoch, stage, stats, flags, wandb_run, console_print):
+        if console_print:
+            star = {k: (" *" if flags.get(k) else "") for k in stats}
+            parts = [f"{epoch:03d} | {stage:<5}"]
+            for k in STAT_KEYS[self.model_name]:
+                if k.startswith("loss"):
+                    parts.append(f"{k}: {stats[k]:09.6f}{star.get(k, '')}")
+            parts.append(f"acc: {stats['metric_acc']:08.4f}%{star.get('metric_acc', '')}")
+            if "metric_perp" in stats:
+                parts.append(f"perp: {stats['metric_perp']:06.3f}")
+            parts.append(f"{stats['sentences_per_sec']:.1f} sent/s")
+            print(" | ".join(parts))
+        if wandb_run is not None:
+            log = {"epoch": epoch}
+            for k in STAT_KEYS[self.model_name]:
+                if k == "padding_tokens_pct":
+                    log[f"padding_tokens_pct/{stage}"] = stats[k]
+                elif k.startswith("loss"):
+                    log[f"{stage}/{k}"] = stats[k]
+                else:
+                    log[f"{stage}/{k.replace('metric_', '')}"] = stats[k]
+            wandb_run.log(log)

@@ -1,0 +1,311 @@
+"""Per-variant model builders + loss adapters for the shared engine.
+
+The reference clones its whole Trainer.py per variant (4 near-identical
+copies, SURVEY §1); here each variant contributes only (a) a model builder
+and (b) a pure ``loss_fn(params, batch, rngs, deterministic) -> (loss, aux)``
+— everything else (jit, grads, stats, ckpt, logging) lives once in
+train/engine.py.
+
+``aux`` is a flat dict of scalars (stats) plus ``recon_ids`` for the decode
+dumps. Scalar keys mirror the reference's wandb names per variant
+(e.g. shelgon3/Trainer.py:204-213).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kindergarten_vq_vae_tpu.models import Bagon, Shelgon, Shelgon2, Shelgon3
+from kindergarten_vq_vae_tpu.nn.bert import BertConfig
+from kindergarten_vq_vae_tpu.train.config import RunConfig
+from kindergarten_vq_vae_tpu.train.losses import kl_onehot_loss, kl_recon_loss
+from kindergarten_vq_vae_tpu.utils.metrics import padding_tokens_pct, seq_acc
+from kindergarten_vq_vae_tpu.utils.tensor import (
+    replace_pct_rand_columns,
+    replace_pct_rand_values,
+)
+
+_DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+
+
+def bert_configs(cfg: RunConfig) -> tuple[BertConfig, BertConfig]:
+    m = cfg.model
+    common = dict(
+        vocab_size=m.vocab_size,
+        hidden_size=m.hidden_size,
+        num_layers=m.num_layers,
+        num_heads=m.num_heads,
+        intermediate_size=m.intermediate_size,
+        hidden_dropout=m.hidden_dropout,
+        attention_dropout=m.attention_dropout,
+        tie_word_embeddings=m.tie_word_embeddings,
+        dtype=_DTYPES[m.compute_dtype],
+    )
+    enc = BertConfig(add_pooler=True, **common)
+    dec = BertConfig(is_decoder=True, add_cross_attention=True, add_pooler=False, **common)
+    return enc, dec
+
+
+def _load_codebook_init(cfg: RunConfig):
+    path = cfg.model.vq_codebook_init_values_path
+    if path is None:
+        return None
+    data = np.load(path) if path.endswith(".npy") else np.load(path, allow_pickle=True)
+    return jnp.asarray(data)
+
+
+def build_model(cfg: RunConfig, stage: str = "train"):
+    enc, dec = bert_configs(cfg)
+    m = cfg.model
+    name = m.model_name
+    if name == "bagon":
+        return Bagon(enc, dec)
+    if name == "shelgon":
+        return Shelgon(
+            enc,
+            dec,
+            emb_size=m.emb_size,
+            seq_len=cfg.data.tokenized_sentence_max_length,
+            num_latent_classes=m.num_latent_classes,
+            num_labels_per_class=m.num_labels_per_class,
+        )
+    if name == "shelgon2":
+        mask_pct = {
+            "train": m.mask_pct_train,
+            "val": m.mask_pct_val,
+            "test": m.mask_pct_test,
+        }[stage]
+        return Shelgon2(
+            enc,
+            dec,
+            word_emb_size=m.word_embedding_size,
+            sentence_len=cfg.data.tokenized_sentence_max_length,
+            num_latent_gen_factors=m.num_latent_gen_factors,
+            mask_pct=mask_pct,
+        )
+    if name == "shelgon3":
+        return Shelgon3(
+            enc,
+            dec,
+            vq_mode=m.vq_mode,
+            vq_n_e=m.vq_n_e,
+            vq_e_dim=m.vq_e_dim,
+            vq_beta=m.vq_beta,
+            vq_temperature=m.vq_temperature,
+            vq_kl_div_scale=m.vq_kl_div_scale,
+            vq_straight_through=m.vq_straight_through,
+            vq_use_fused=m.vq_use_fused,
+            vq_ema_update=m.vq_ema_update,
+            vq_init_values=_load_codebook_init(cfg),
+        )
+    raise ValueError(f"unknown model_name {name}")
+
+
+def init_params(cfg: RunConfig, key) -> dict:
+    model = build_model(cfg)
+    b, s = 2, cfg.data.tokenized_sentence_max_length
+    ids = jnp.zeros((b, s), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    rngs = {"params": key, "dropout": key, "gumbel": key, "perturb": key}
+    name = cfg.model.model_name
+    if name in ("bagon", "shelgon"):
+        variables = model.init(rngs, ids, mask, ids, mask, deterministic=True)
+    else:
+        variables = model.init(rngs, ids, mask, deterministic=True)
+    return variables["params"]
+
+
+def _valid_row(batch) -> jnp.ndarray:
+    b = batch["input_ids"].shape[0]
+    return (jnp.arange(b) < batch["n_valid"]).astype(jnp.float32)
+
+
+def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
+    """Build the pure loss fn for a stage ('train'|'val'|'test')."""
+    model = build_model(cfg, stage)
+    name = cfg.model.model_name
+    o = cfg.optim
+    vocab = cfg.model.vocab_size
+    enc_pct = getattr(cfg, f"encoder_perturb_{stage}_pct")
+    dec_pct = getattr(cfg, f"decoder_perturb_{stage}_pct")
+    is_training = stage == "train"
+
+    def bagon_loss(params, batch, rngs, deterministic):
+        valid = _valid_row(batch)
+        k1, k2 = jax.random.split(rngs["perturb"])
+        enc_ids = replace_pct_rand_values(k1, batch["input_ids"], enc_pct, 0, vocab)
+        dec_ids = replace_pct_rand_values(k2, batch["input_ids"], dec_pct, 0, vocab)
+        out = model.apply(
+            {"params": params},
+            enc_ids,
+            batch["attention_mask"],
+            dec_ids,
+            batch["attention_mask"],
+            deterministic=deterministic,
+            rngs={k: v for k, v in rngs.items() if k != "perturb"},
+        )
+        loss_recon = kl_recon_loss(out["logits"], dec_ids, valid)
+        recon_ids = jnp.argmax(out["logits"], axis=-1)
+        acc, acc_per_sentence = seq_acc(recon_ids, dec_ids)
+        aux = {
+            "loss_recon": loss_recon,
+            "loss_full": loss_recon,
+            "metric_acc": acc,
+            "padding_tokens_pct": padding_tokens_pct(batch["input_ids"]),
+            "recon_ids": recon_ids,
+            "acc_per_sentence": acc_per_sentence,
+            "target_ids": dec_ids,
+        }
+        return loss_recon, aux
+
+    def shelgon_loss(params, batch, rngs, deterministic):
+        valid = _valid_row(batch)
+        k1, k2 = jax.random.split(rngs["perturb"])
+        # column-wise corruption (shelgon/Trainer.py:93-107 uses
+        # change_percentage_of_elements on dim=1)
+        enc_ids = replace_pct_rand_columns(k1, batch["input_ids"], enc_pct, 0, vocab)
+        dec_ids = replace_pct_rand_columns(k2, batch["input_ids"], dec_pct, 0, vocab)
+        enc_mask = batch["attention_mask"] if cfg.model.use_mask_encoder else None
+        dec_mask = batch["attention_mask"] if cfg.model.use_mask_decoder else None
+        out = model.apply(
+            {"params": params},
+            enc_ids,
+            enc_mask,
+            dec_ids,
+            dec_mask,
+            deterministic=deterministic,
+            rngs={k: v for k, v in rngs.items() if k != "perturb"},
+        )
+        # NOTE parity: the reference's recon target is the *unperturbed*
+        # decoder ids in shelgon (Trainer.py:117-121 uses input_ids_decoder,
+        # not the perturbed copy)
+        loss_recon = kl_recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_pred = kl_onehot_loss(out["pred_latent_logits"], batch["one_hot"], valid)
+        loss_full = loss_recon + loss_pred
+        recon_ids = jnp.argmax(out["logits"], axis=-1)
+        acc, acc_per_sentence = seq_acc(recon_ids, batch["input_ids"])
+        pred_labels = jnp.argmax(out["pred_latent_classes"], axis=-1)
+        acc_pred, _ = seq_acc(pred_labels, batch["labels"])
+        aux = {
+            "loss_recon": loss_recon,
+            "loss_pred": loss_pred,
+            "loss_full": loss_full,
+            "metric_acc": acc,
+            "metric_acc_pred": acc_pred,
+            "padding_tokens_pct": padding_tokens_pct(batch["input_ids"]),
+            "recon_ids": recon_ids,
+            "acc_per_sentence": acc_per_sentence,
+            "target_ids": batch["input_ids"],
+        }
+        return loss_full, aux
+
+    def shelgon2_loss(params, batch, rngs, deterministic):
+        valid = _valid_row(batch)
+        out = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["attention_mask"],
+            deterministic=deterministic,
+            rngs=rngs,
+        )
+        loss_recon = kl_recon_loss(out["logits"], batch["input_ids"], valid)
+        # latent logits come out (B, 3, F); the reference permutes to (B, F, 3)
+        # before the loss (shelgon2/Trainer.py:95)
+        latent_logits = jnp.transpose(out["gen_factors_logits"], (0, 2, 1))
+        loss_latent = kl_onehot_loss(latent_logits, batch["one_hot8"], valid)
+        loss_recon = loss_recon * o.loss_recon_rescale_factor * o.loss_recon_weight
+        loss_latent = loss_latent * o.loss_latent_rescale_factor * o.loss_latent_weight
+        loss_full = loss_recon + loss_latent
+        recon_ids = jnp.argmax(out["logits"], axis=-1)
+        acc, acc_per_sentence = seq_acc(recon_ids, batch["input_ids"])
+        acc_latent, _ = seq_acc(out["gen_factors_labels"], batch["labels8"])
+        aux = {
+            "loss_recon": loss_recon,
+            "loss_latent": loss_latent,
+            "loss_full": loss_full,
+            "metric_acc": acc,
+            "metric_latent_acc": acc_latent,
+            "padding_tokens_pct": padding_tokens_pct(batch["input_ids"]),
+            "recon_ids": recon_ids,
+            "acc_per_sentence": acc_per_sentence,
+            "target_ids": batch["input_ids"],
+            "gen_factors_labels": out["gen_factors_labels"],
+        }
+        return loss_full, aux
+
+    def shelgon3_loss(params, batch, rngs, deterministic):
+        valid = _valid_row(batch)
+        out = model.apply(
+            {"params": params},
+            batch["input_ids"],
+            batch["attention_mask"],
+            deterministic=deterministic,
+            is_training=is_training,
+            rngs=rngs,
+        )
+        loss_recon = kl_recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_recon = loss_recon * o.loss_recon_rescale_factor * o.loss_recon_weight
+        loss_vq = out["vq_loss"] * o.loss_vq_rescale_factor * o.loss_vq_weight
+        loss_full = loss_recon + loss_vq
+        recon_ids = jnp.argmax(out["logits"], axis=-1)
+        acc, acc_per_sentence = seq_acc(recon_ids, batch["input_ids"])
+        aux = {
+            "loss_recon": loss_recon,
+            "loss_vq": loss_vq,
+            "loss_full": loss_full,
+            "metric_perp": out["perplexity"],
+            "metric_acc": acc,
+            "padding_tokens_pct": padding_tokens_pct(batch["input_ids"]),
+            "recon_ids": recon_ids,
+            "acc_per_sentence": acc_per_sentence,
+            "target_ids": batch["input_ids"],
+            "min_encoding_indices": out["min_encoding_indices"],
+        }
+        if out["ema_stats"] is not None:
+            aux["ema_counts"] = out["ema_stats"]["counts"]
+            aux["ema_sum_z"] = out["ema_stats"]["sum_z"]
+        return loss_full, aux
+
+    return {
+        "bagon": bagon_loss,
+        "shelgon": shelgon_loss,
+        "shelgon2": shelgon2_loss,
+        "shelgon3": shelgon3_loss,
+    }[name]
+
+
+# stats that are scalars and get accumulated per epoch, per variant
+STAT_KEYS = {
+    "bagon": ("loss_recon", "loss_full", "metric_acc", "padding_tokens_pct"),
+    "shelgon": ("loss_recon", "loss_pred", "loss_full", "metric_acc", "metric_acc_pred", "padding_tokens_pct"),
+    "shelgon2": ("loss_recon", "loss_latent", "loss_full", "metric_acc", "metric_latent_acc", "padding_tokens_pct"),
+    "shelgon3": ("loss_recon", "loss_vq", "loss_full", "metric_perp", "metric_acc", "padding_tokens_pct"),
+}
+
+# direction for "best" tracking: min for losses, max for metrics
+BEST_MODES = {
+    "loss_recon": "min",
+    "loss_pred": "min",
+    "loss_latent": "min",
+    "loss_vq": "min",
+    "loss_full": "min",
+    "metric_acc": "max",
+    "metric_acc_pred": "max",
+    "metric_latent_acc": "max",
+    "metric_perp": "max",  # perplexity should approach the codebook size
+}
+
+# stats that trigger a best-checkpoint write, per variant
+# (ref: bagon/Trainer.py:290-296 saves loss_recon + metric_acc bests;
+#  shelgon3/Trainer.py:251-257 adds loss_vq)
+CKPT_KEYS = {
+    "bagon": ("loss_recon", "metric_acc"),
+    "shelgon": ("loss_recon", "metric_acc"),
+    "shelgon2": ("loss_recon", "metric_acc"),
+    "shelgon3": ("loss_recon", "metric_acc", "loss_vq"),
+}

@@ -32,7 +32,7 @@ def tiny_corpus():
 
     sentences, labels = generate_dsentences(num_verbs=2, num_objects=2)
     one_hot = prepare.labels_to_one_hot(labels)
-    sentences_c, labels_c, one_hot_c = prepare.clean_dataset(sentences, labels, one_hot)
+    sentences_c, labels_c, one_hot_c, kept = prepare.clean_dataset(sentences, labels, one_hot)
     vocab = prepare.export_vocab(sentences_c)
     from kindergarten_vq_vae_tpu.data.tokenizer import WordTokenizer
 
@@ -46,6 +46,9 @@ def tiny_corpus():
         "labels_clean": labels_c,
         "one_hot_clean": one_hot_c,
         "one_hot_full": one_hot,
+        "kept": kept,
+        "labels8_clean": labels[kept][:, 1:],
+        "one_hot8_clean": one_hot[kept],
         "vocab": vocab,
         "tokenizer": tok,
         "max_length": max_len,

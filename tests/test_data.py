@@ -103,6 +103,16 @@ def _mk_ds(tiny_corpus):
     )
 
 
+def test_clean_kept_indices(tiny_corpus):
+    kept = tiny_corpus["kept"]
+    sentences = tiny_corpus["sentences"]
+    assert [sentences[i] for i in kept] == tiny_corpus["sentences_clean"]
+    assert tiny_corpus["labels8_clean"].shape == (len(kept), 8)
+    np.testing.assert_array_equal(
+        np.argmax(tiny_corpus["one_hot8_clean"], axis=-1), tiny_corpus["labels8_clean"]
+    )
+
+
 def test_split_deterministic(tiny_corpus):
     ds = _mk_ds(tiny_corpus)
     tr1, va1, te1 = split_dataset(ds)

@@ -1,0 +1,219 @@
+"""Train-layer tests: freezing masks, optimizer, engine end-to-end,
+checkpointing, EMA codebook path, config roundtrip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from flax import traverse_util
+
+from kindergarten_vq_vae_tpu.ckpt.checkpoint import (
+    load_bagon_into_model,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from kindergarten_vq_vae_tpu.data.dataset import DSentences, split_dataset
+from kindergarten_vq_vae_tpu.train.config import (
+    DataConfig,
+    ModelConfig,
+    OptimConfig,
+    RunConfig,
+)
+from kindergarten_vq_vae_tpu.train.engine import Engine
+from kindergarten_vq_vae_tpu.train.freezing import trainable_mask
+from kindergarten_vq_vae_tpu.train.optim import make_lr_schedule
+from kindergarten_vq_vae_tpu.train.variants import init_params
+
+
+def _tiny_cfg(model_name: str, data_dir: str = "", **model_kw) -> RunConfig:
+    return RunConfig(
+        model=ModelConfig(
+            model_name=model_name,
+            vocab_size=128,
+            hidden_size=32,
+            num_layers=2,
+            num_heads=2,
+            intermediate_size=64,
+            compute_dtype="float32",
+            emb_size=32,
+            word_embedding_size=32,
+            vq_e_dim=32,
+            enc_out_size=32,
+            **model_kw,
+        ),
+        data=DataConfig(
+            data_dir=data_dir,
+            batch_size=16,
+            tokenized_sentence_max_length=12,
+            lim_batches_train_pct=0.05,
+            lim_batches_val_pct=0.1,
+            lim_batches_test_pct=0.1,
+        ),
+        optim=OptimConfig(lr=1e-3),
+        n_epochs=1,
+        n_epochs_to_decode_after=1,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_splits(tiny_corpus):
+    ds = DSentences(
+        input_ids=tiny_corpus["input_ids"][:, :12],
+        attention_mask=tiny_corpus["attention_mask"][:, :12],
+        labels=tiny_corpus["labels_clean"],
+        one_hot=tiny_corpus["one_hot_clean"],
+        labels8=tiny_corpus["labels8_clean"],
+        one_hot8=tiny_corpus["one_hot8_clean"],
+        sentences=tiny_corpus["sentences_clean"],
+    )
+    tr, va, te = split_dataset(ds)
+    return {"train": tr, "val": va, "test": te}
+
+
+def test_freezing_mask_modes():
+    cfg = _tiny_cfg("shelgon3")
+    params = init_params(cfg, jax.random.key(0))
+
+    full = traverse_util.flatten_dict(trainable_mask(params, "full"))
+    assert all(full.values())
+
+    dec_ft = traverse_util.flatten_dict(
+        trainable_mask(params, "dec-head-ft", cross_attn_trainable=True)
+    )
+    # encoder frozen
+    assert not any(v for k, v in dec_ft.items() if k[0] == "encoder")
+    # quantizer trainable ("Vector Quantizer still trainable!", Bagon.py:134)
+    assert all(v for k, v in dec_ft.items() if k[0] == "vector_quantizer")
+    # head + cross-attn trainable; other decoder layers frozen
+    assert dec_ft[("decoder", "mlm_head", "transform_dense", "kernel")]
+    assert dec_ft[("decoder", "mlm_head", "decoder_bias")]
+    assert not dec_ft[("decoder", "mlm_head", "transform_layer_norm", "scale")]
+    assert dec_ft[("decoder", "bert", "layer_0", "cross_attn", "q", "kernel")]
+    assert not dec_ft[("decoder", "bert", "layer_0", "self_attn", "qkv", "kernel")]
+    # tied-embedding torch parity: word table trainable with the head
+    assert dec_ft[("decoder", "bert", "embeddings", "word_embeddings", "embedding")]
+
+    no_ca = traverse_util.flatten_dict(
+        trainable_mask(params, "dec-head-ft", cross_attn_trainable=False)
+    )
+    assert not no_ca[("decoder", "bert", "layer_0", "cross_attn", "q", "kernel")]
+
+    enc_dec = traverse_util.flatten_dict(trainable_mask(params, "enc-head-ft-dec-head-ft"))
+    assert enc_dec[("encoder", "layer_1", "mlp", "output", "kernel")]  # last layer
+    assert not enc_dec[("encoder", "layer_0", "mlp", "output", "kernel")]
+    assert enc_dec[("encoder", "pooler", "kernel")]
+
+    vq_ft = traverse_util.flatten_dict(trainable_mask(params, "vq-ft"))
+    assert not any(v for k, v in vq_ft.items() if k[0] in ("encoder", "decoder"))
+    assert all(v for k, v in vq_ft.items() if k[0] == "vector_quantizer")
+
+    with pytest.raises(ValueError):
+        trainable_mask(params, "bogus")
+
+
+def test_frozen_params_do_not_move(tiny_splits):
+    cfg = _tiny_cfg("shelgon3", model_mode="vq-ft")
+    eng = Engine(cfg, tiny_splits)
+    before = jax.tree_util.tree_map(np.asarray, eng.state.params)
+    eng.fit(console_print=False)
+    after = eng.state.params
+    # encoder/decoder untouched in vq-ft
+    for side in ("encoder", "decoder"):
+        b = traverse_util.flatten_dict(before[side])
+        a = traverse_util.flatten_dict(jax.tree_util.tree_map(np.asarray, after[side]))
+        for k in b:
+            np.testing.assert_array_equal(b[k], a[k])
+    # quantizer codebook moved
+    assert not np.allclose(
+        np.asarray(before["vector_quantizer"]["codebook"]),
+        np.asarray(after["vector_quantizer"]["codebook"]),
+    )
+
+
+def test_engine_end_to_end_bagon(tiny_splits, tmp_path, tiny_corpus):
+    cfg = _tiny_cfg("bagon")
+    eng = Engine(cfg, tiny_splits, tokenizer=tiny_corpus["tokenizer"], run_path=str(tmp_path))
+    history = eng.fit(console_print=False)
+    assert len(history) == 1
+    assert np.isfinite(history[0]["train"]["loss_recon"])
+    assert np.isfinite(history[0]["val"]["loss_recon"])
+    # val best checkpoint written and restorable
+    ckpt = tmp_path / "bagon_ckpt_loss_recon_val_best"
+    assert ckpt.exists()
+    stats = eng.test(console_print=False)
+    assert np.isfinite(stats["loss_recon"])
+    assert len(eng.decoded_sentences) > 0
+    row = eng.decoded_sentences[0]
+    assert {"epoch", "stage", "input_sentence", "recon_sentence", "sentence_acc"} <= set(row)
+    assert "verb_tense" in row  # explicit factor names attached
+    out = eng.dump_decoded_sentences()
+    assert out is not None and os.path.exists(out)
+
+
+def test_ema_codebook_training(tiny_splits):
+    cfg = _tiny_cfg("shelgon3", vq_ema_update=True, vq_n_e=4)
+    eng = Engine(cfg, tiny_splits)
+    cb_before = np.asarray(eng.state.params["vector_quantizer"]["codebook"])
+    eng.fit(console_print=False)
+    cb_after = np.asarray(eng.state.params["vector_quantizer"]["codebook"])
+    assert not np.allclose(cb_before, cb_after)  # EMA moved it (no gradient)
+    assert eng.state.ema is not None
+    assert np.isfinite(cb_after).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = _tiny_cfg("bagon")
+    params = init_params(cfg, jax.random.key(0))
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, params)
+    restored = restore_checkpoint(path, params)
+    flat_a = traverse_util.flatten_dict(params)
+    flat_b = traverse_util.flatten_dict(restored)
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]), np.asarray(flat_b[k]))
+
+
+def test_bagon_warm_start_into_shelgon3(tmp_path):
+    bagon_cfg = _tiny_cfg("bagon")
+    bagon_params = init_params(bagon_cfg, jax.random.key(0))
+    path = str(tmp_path / "bagon_ck")
+    save_checkpoint(path, bagon_params)
+
+    s3_cfg = _tiny_cfg("shelgon3")
+    s3_params = init_params(s3_cfg, jax.random.key(1))
+    merged = load_bagon_into_model(s3_params, path)
+    np.testing.assert_array_equal(
+        np.asarray(merged["encoder"]["layer_0"]["self_attn"]["qkv"]["kernel"]),
+        np.asarray(bagon_params["encoder"]["layer_0"]["self_attn"]["qkv"]["kernel"]),
+    )
+    # quantizer untouched
+    np.testing.assert_array_equal(
+        np.asarray(merged["vector_quantizer"]["codebook"]),
+        np.asarray(s3_params["vector_quantizer"]["codebook"]),
+    )
+
+
+def test_multistep_lr_schedule():
+    o = OptimConfig(lr=1.0, lr_scheduler="MultiStepLR", milestones=(10, 20), gamma=0.1)
+    sched = make_lr_schedule(o)
+    assert float(sched(0)) == pytest.approx(1.0)
+    assert float(sched(10)) == pytest.approx(0.1)
+    assert float(sched(25)) == pytest.approx(0.01)
+
+
+def test_run_config_roundtrip(tmp_path):
+    cfg = _tiny_cfg("shelgon3", vq_n_e=7, vq_beta=0.5)
+    path = str(tmp_path / "run_conf.json")
+    cfg.save(path)
+    loaded = RunConfig.load(path)
+    assert loaded.model.vq_n_e == 7
+    assert loaded.model.vq_beta == 0.5
+    assert loaded.model.model_name == "shelgon3"
+    assert loaded.data.batch_size == cfg.data.batch_size
+    # flat dict exposes reference snake_case keys
+    flat = loaded.get_config()
+    for key in ("encoder_model_name", "tokenized_sentence_max_length", "vq_n_e", "lr"):
+        assert key in flat
