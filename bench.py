@@ -1,0 +1,180 @@
+"""Benchmark: flagship Shelgon3-VQ training throughput on one TPU chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "sentences/sec", "vs_baseline": N}
+
+- TPU side: full jitted train step (fwd + KL recon loss + fused Pallas VQ +
+  bwd + adam/amsgrad update) at bert-base geometry, bf16 compute, batch 256,
+  seq 12 — pre-tokenized static-shape inputs. Steps are chained through the
+  donated train state so the device executes them back-to-back; one final
+  block_until_ready (per-step host sync would measure tunnel latency, not
+  compute).
+- Baseline: the same-architecture PyTorch model (HF BertModel +
+  BertLMHeadModel built from config — the reference's exact module stack,
+  models/bagon/Bagon.py:25-31 + shelgon3 VQ) running the same train step on
+  CPU, measured once and cached in BASELINE_MEASURED.json. The baseline is
+  *favorably* biased: it also gets pre-tokenized inputs and a gather-based
+  NLL (the reference tokenizes per step and materializes a (B*S, 30522)
+  one-hot, models/shelgon3/Trainer.py:82-98).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
+
+BATCH = 256
+SEQ = 12
+VOCAB = 30522
+N_STEPS = 30
+
+
+def _example_batch(batch=BATCH, seq=SEQ, vocab=VOCAB):
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, vocab, (batch, seq)).astype(np.int32)
+    mask = np.ones((batch, seq), np.int32)
+    return ids, mask
+
+
+def bench_tpu_train() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
+    from kindergarten_vq_vae_tpu.train.optim import make_optimizer
+    from kindergarten_vq_vae_tpu.train.variants import init_params, make_loss_fn
+
+    cfg = RunConfig(
+        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused=True),
+        data=DataConfig(batch_size=BATCH, tokenized_sentence_max_length=SEQ),
+    )
+    params = init_params(cfg, jax.random.key(0))
+    tx = make_optimizer(cfg.optim)
+    opt_state = tx.init(params)
+    loss_fn = make_loss_fn(cfg, "train")
+
+    ids, mask = _example_batch()
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "n_valid": jnp.int32(BATCH),
+    }
+
+    @jax.jit
+    def train_step(params, opt_state, batch, step):
+        key = jax.random.fold_in(jax.random.key(1), step)
+        k1, k2, k3 = jax.random.split(key, 3)
+        rngs = {"dropout": k1, "gumbel": k2, "perturb": k3}
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rngs, False)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    # warmup / compile
+    params, opt_state, loss = train_step(params, opt_state, batch, 0)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(N_STEPS):
+        params, opt_state, loss = train_step(params, opt_state, batch, i + 1)
+    jax.block_until_ready((params, loss))
+    dt = (time.perf_counter() - t0) / N_STEPS
+    assert np.isfinite(float(loss)), "non-finite loss in benchmark"
+    return BATCH / dt
+
+
+def bench_cpu_torch_baseline(n_steps: int = 3) -> float:
+    """Reference-equivalent PyTorch CPU train step, sentences/sec."""
+    import torch
+    import transformers
+
+    torch.manual_seed(0)
+    hf_cfg = transformers.BertConfig()  # bert-base geometry
+    encoder = transformers.BertModel(hf_cfg)
+    dec_cfg = transformers.BertConfig(is_decoder=True, add_cross_attention=True)
+    decoder = transformers.BertLMHeadModel(dec_cfg)
+
+    n_e, e_dim, beta = 9, 768, 0.69
+    codebook = torch.nn.Embedding(n_e, e_dim)
+    codebook.weight.data.uniform_(-1.0 / n_e, 1.0 / n_e)
+
+    params = (
+        list(encoder.parameters()) + list(decoder.parameters()) + list(codebook.parameters())
+    )
+    opt = torch.optim.Adam(params, lr=1e-4, amsgrad=True)
+
+    ids_np, mask_np = _example_batch()
+    ids = torch.as_tensor(ids_np.astype(np.int64))
+    mask = torch.as_tensor(mask_np.astype(np.int64))
+
+    def step():
+        z = encoder(ids, attention_mask=mask).last_hidden_state
+        zf = z.reshape(-1, e_dim)
+        d = (
+            zf.pow(2).sum(1, keepdim=True)
+            + codebook.weight.pow(2).sum(1)
+            - 2 * zf @ codebook.weight.t()
+        )
+        idx = torch.argmin(d, dim=1)
+        zq = codebook.weight[idx].reshape(z.shape)
+        vq_loss = torch.mean((zq.detach() - z) ** 2) + beta * torch.mean((zq - z.detach()) ** 2)
+        zq = z + (zq - z).detach()
+        logits = decoder(
+            input_ids=ids, attention_mask=mask, encoder_hidden_states=zq
+        ).logits
+        logp = torch.log_softmax(logits.reshape(-1, VOCAB), dim=-1)
+        recon = -logp.gather(1, ids.reshape(-1, 1)).mean()
+        loss = recon + vq_loss
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    dt = (time.perf_counter() - t0) / n_steps
+    return BATCH / dt
+
+
+def get_baseline() -> float:
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            return json.load(f)["cpu_torch_train_sentences_per_sec"]
+    value = bench_cpu_torch_baseline()
+    with open(BASELINE_FILE, "w") as f:
+        json.dump(
+            {
+                "cpu_torch_train_sentences_per_sec": value,
+                "config": "shelgon3-VQ bert-base batch=256 seq=12 n_e=9 (reference-equivalent torch CPU)",
+            },
+            f,
+            indent=2,
+        )
+    return value
+
+
+def main():
+    tpu = bench_tpu_train()
+    baseline = get_baseline()
+    print(
+        json.dumps(
+            {
+                "metric": "shelgon3_vq_train_sentences_per_sec_per_chip",
+                "value": round(tpu, 1),
+                "unit": "sentences/sec",
+                "vs_baseline": round(tpu / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

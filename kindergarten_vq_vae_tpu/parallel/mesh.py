@@ -1,0 +1,103 @@
+"""Device-mesh + sharding layer (TPU-native; the reference has no
+distributed training at all, SURVEY §5.8 — this layer is added capability).
+
+Design: GSPMD-style. Parameters and batches get NamedSharding annotations
+over a ("dp", "tp") Mesh; XLA inserts the ICI collectives (all-reduce for DP
+gradient sync, all-gather/reduce-scatter around TP matmuls). No hand-written
+communication — the scaling-book recipe: pick a mesh, annotate shardings,
+let XLA do the rest.
+
+Tensor-parallel layout (Megatron-style column->row pairs, zero collectives
+inside a layer until the row matmul's reduce):
+- attention QKV kernel (H, 3H)   -> shard output dim over tp (heads split)
+- attention out kernel (H, H)    -> shard input dim over tp (row parallel)
+- cross-attn q/kv kernels        -> same column split; out row split
+- MLP intermediate (H, 4H)       -> column split; MLP output (4H, H) row split
+- word embeddings (V, H)         -> shard vocab dim (tied MLM head then
+  computes vocab-sharded logits; the loss's log-softmax reduction is XLA's
+  problem and it handles it with one all-reduce over tp)
+- LayerNorms, biases of row-parallel matmuls, everything small -> replicated
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(shape=(), axis_names=(), devices=None) -> Mesh | None:
+    """Build a Mesh; shape () -> None (single-device path)."""
+    if not shape:
+        return None
+    devices = devices if devices is not None else jax.devices()
+    n = int(np.prod(shape))
+    if n > len(devices):
+        raise ValueError(f"mesh shape {shape} needs {n} devices, have {len(devices)}")
+    dev_array = np.asarray(devices[:n]).reshape(shape)
+    return Mesh(dev_array, axis_names)
+
+
+def _rule_for_path(path: tuple, names: tuple) -> P:
+    tp = "tp" if "tp" in names else None
+    if tp is None:
+        return P()
+    last2 = path[-2:] if len(path) >= 2 else path
+    # column-parallel kernels: shard the output features
+    if last2 in (("qkv", "kernel"), ("q", "kernel"), ("kv", "kernel"), ("intermediate", "kernel")):
+        return P(None, tp)
+    if last2 in (("qkv", "bias"), ("q", "bias"), ("kv", "bias"), ("intermediate", "bias")):
+        return P(tp)
+    # row-parallel kernels: shard the input features
+    if last2 in (("out", "kernel"), ("output", "kernel")):
+        return P(tp, None)
+    # vocab-sharded embedding table (also the tied MLM head kernel)
+    if last2 == ("word_embeddings", "embedding"):
+        return P(tp, None)
+    if path[-1] == "decoder_bias":  # (V,) vocab-aligned bias
+        return P(tp)
+    return P()
+
+
+def param_sharding_rules(params, mesh: Mesh):
+    """NamedSharding pytree matching ``params``."""
+    from flax import traverse_util
+
+    names = mesh.axis_names
+    flat = traverse_util.flatten_dict(params)
+    out = {}
+    for path, leaf in flat.items():
+        spec = _rule_for_path(path, names)
+        # skip specs that don't divide the dims evenly
+        ok = True
+        dims = getattr(leaf, "shape", ())
+        for axis, part in enumerate(spec):
+            if part is None:
+                continue
+            size = mesh.shape[part]
+            if axis >= len(dims) or dims[axis] % size != 0:
+                ok = False
+        out[path] = NamedSharding(mesh, spec if ok else P())
+    return traverse_util.unflatten_dict(out)
+
+
+def shard_params(mesh: Mesh, params):
+    shardings = param_sharding_rules(params, mesh)
+    return jax.device_put(params, shardings)
+
+
+def batch_spec(mesh: Mesh) -> P:
+    return P("dp") if "dp" in mesh.axis_names else P()
+
+
+def shard_batch(mesh: Mesh, batch: dict):
+    """Shard batch arrays over dp on the leading axis; scalars replicated."""
+    spec = batch_spec(mesh)
+    out = {}
+    for k, v in batch.items():
+        arr = np.asarray(v)
+        if arr.ndim == 0:
+            out[k] = jax.device_put(arr, NamedSharding(mesh, P()))
+        else:
+            out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+    return out

@@ -84,13 +84,22 @@ class Engine:
         self.splits = splits
         self.tokenizer = tokenizer
         self.run_path = run_path
-        self.mesh = mesh
         self.model_name = cfg.model.model_name
+
+        if mesh is None and cfg.mesh_shape:
+            from kindergarten_vq_vae_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(cfg.mesh_shape, cfg.mesh_axis_names)
+        self.mesh = mesh
 
         key = jax.random.key(cfg.seed)
         self.params = params if params is not None else init_params(cfg, key)
         if cfg.model.from_pretrained_bagon:
             self.params = load_bagon_into_model(self.params, cfg.model.from_pretrained_bagon)
+        if self.mesh is not None:
+            from kindergarten_vq_vae_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.mesh, self.params)
 
         self.mask = trainable_mask(
             self.params,

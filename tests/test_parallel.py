@@ -1,0 +1,96 @@
+"""Sharding tests on the 8-device virtual CPU mesh: mesh construction,
+param sharding rules, dp+tp train step, dp-vs-single-device parity."""
+
+import importlib.util
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from kindergarten_vq_vae_tpu.parallel.mesh import (
+    make_mesh,
+    param_sharding_rules,
+    shard_batch,
+    shard_params,
+)
+from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
+from kindergarten_vq_vae_tpu.train.variants import init_params, make_loss_fn
+
+
+def _cfg(**kw):
+    model = ModelConfig(
+        model_name="shelgon3",
+        vocab_size=256,
+        hidden_size=64,
+        num_layers=2,
+        num_heads=4,
+        intermediate_size=128,
+        compute_dtype="float32",
+        vq_e_dim=64,
+        enc_out_size=64,
+        vq_use_fused=False,
+        **kw,
+    )
+    return RunConfig(model=model, data=DataConfig(batch_size=8, tokenized_sentence_max_length=12))
+
+
+def test_make_mesh():
+    assert make_mesh() is None
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    assert mesh.shape == {"dp": 4, "tp": 2}
+    with pytest.raises(ValueError):
+        make_mesh((16,), ("dp",))
+
+
+def test_param_sharding_rules_tp():
+    cfg = _cfg()
+    params = init_params(cfg, jax.random.key(0))
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    shardings = param_sharding_rules(params, mesh)
+    qkv = shardings["encoder"]["layer_0"]["self_attn"]["qkv"]["kernel"]
+    assert qkv.spec == P(None, "tp")
+    out = shardings["encoder"]["layer_0"]["self_attn"]["out"]["kernel"]
+    assert out.spec == P("tp", None)
+    emb = shardings["encoder"]["embeddings"]["word_embeddings"]["embedding"]
+    assert emb.spec == P("tp", None)
+    ln = shardings["encoder"]["layer_0"]["mlp"]["layer_norm"]["scale"]
+    assert ln.spec == P()
+
+
+def test_sharded_train_step_matches_single_device():
+    """dp-sharded loss == unsharded loss (same data, same params)."""
+    cfg = _cfg()
+    params = init_params(cfg, jax.random.key(0))
+    loss_fn = make_loss_fn(cfg, "val")  # deterministic path
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "input_ids": rng.integers(1, 256, (8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+        "n_valid": np.int32(8),
+    }
+    rngs = {"dropout": jax.random.key(1), "gumbel": jax.random.key(2), "perturb": jax.random.key(3)}
+
+    loss_single, _ = jax.jit(lambda p, b: loss_fn(p, b, rngs, True))(params, {
+        k: jnp.asarray(v) for k, v in batch_np.items()
+    })
+
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    params_sh = shard_params(mesh, params)
+    batch_sh = shard_batch(mesh, batch_np)
+    with mesh:
+        loss_sharded, _ = jax.jit(lambda p, b: loss_fn(p, b, rngs, True))(params_sh, batch_sh)
+    np.testing.assert_allclose(float(loss_single), float(loss_sharded), rtol=1e-5)
+
+
+def test_graft_dryrun_multichip():
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    m.dryrun_multichip(8)  # asserts finite loss internally
+    m.dryrun_multichip(2)  # dp-only path
