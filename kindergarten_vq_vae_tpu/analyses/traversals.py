@@ -1,0 +1,68 @@
+"""Latent traversals for the Shelgon latent-class bottleneck.
+
+Reference: analyses/latent_traversals/latent_traversals_Shelgon_latent_classes.py:
+encode sentences, REPLACE the (num_classes, num_labels) latent one-hot with a
+hand-written matrix (:130-138), decode through proj_out + decoder, and
+compare original vs modified reconstructions.
+
+Runs as one jitted batch inference via the model's
+``override_latent_classes`` hook (models/shelgon.py) — the traversal matrix
+broadcasts over the whole batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def latent_traversals_shelgon(
+    model,
+    params,
+    input_ids: np.ndarray,
+    attention_mask: np.ndarray,
+    override_matrix: np.ndarray,
+    tokenizer=None,
+):
+    """``override_matrix``: (num_latent_classes, num_labels_per_class) or a
+    (B, C, L) per-sentence batch. Returns dict with original + traversed
+    reconstructions (decoded when a tokenizer is given)."""
+    ids = jnp.asarray(input_ids)
+    mask = jnp.asarray(attention_mask)
+
+    @jax.jit
+    def run(override):
+        out = model.apply(
+            {"params": params}, ids, mask, ids, mask,
+            deterministic=True,
+            override_latent_classes=override,
+            rngs={"gumbel": jax.random.key(0)},
+        )
+        return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
+
+    @jax.jit
+    def run_plain():
+        out = model.apply(
+            {"params": params}, ids, mask, ids, mask,
+            deterministic=True,
+            rngs={"gumbel": jax.random.key(0)},
+        )
+        return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
+
+    orig_ids, orig_latents = run_plain()
+    override = jnp.asarray(override_matrix, jnp.float32)
+    if override.ndim == 2:
+        override = jnp.broadcast_to(override, (ids.shape[0], *override.shape))
+    trav_ids, _ = run(override)
+
+    result = {
+        "original_recon_ids": np.asarray(orig_ids),
+        "traversed_recon_ids": np.asarray(trav_ids),
+        "original_latent_classes": np.asarray(orig_latents),
+    }
+    if tokenizer is not None:
+        result["original_sentences"] = tokenizer.batch_decode(np.asarray(ids))
+        result["original_recon"] = tokenizer.batch_decode(result["original_recon_ids"])
+        result["traversed_recon"] = tokenizer.batch_decode(result["traversed_recon_ids"])
+    return result

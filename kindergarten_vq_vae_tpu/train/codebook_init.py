@@ -1,0 +1,78 @@
+"""Offline k-means codebook initialization.
+
+Reference: models/shelgon3/vq_codebook_init_weights.py — encode the train
+split with a frozen pretrained-Bagon encoder (batch 2048, max_len 12,
+:41-67), flatten to (N*S, 768), ``scipy.cluster.vq.kmeans2(minit='points')``
+with N_E=9 (:76-85), save the codebook init values (:93-101).
+
+TPU-native: the encoder sweep is batched jit inference and k-means runs
+on-device (ops.vq.kmeans_codebook_init) — no per-batch device->host copies,
+no scipy. Output is a plain ``.npy`` consumed via
+ModelConfig.vq_codebook_init_values_path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kindergarten_vq_vae_tpu.ckpt.checkpoint import restore_checkpoint
+from kindergarten_vq_vae_tpu.nn.bert import BertModel
+from kindergarten_vq_vae_tpu.ops.vq import kmeans_codebook_init
+from kindergarten_vq_vae_tpu.train.config import RunConfig
+from kindergarten_vq_vae_tpu.train.variants import bert_configs, init_params
+
+
+def compute_codebook_init(
+    cfg: RunConfig,
+    train_split,
+    bagon_ckpt_path: str | None = None,
+    n_e: int | None = None,
+    batch_size: int = 2048,
+    out_path: str | None = None,
+    seed: int = 0,
+):
+    """Returns the (n_e, hidden) codebook init array; saves .npy if asked."""
+    n_e = n_e or cfg.model.vq_n_e
+    enc_cfg, _ = bert_configs(cfg)
+
+    if bagon_ckpt_path is not None:
+        bagon_like = RunConfig.from_flat_dict({**cfg.get_config(), "model_name": "bagon"})
+        template = init_params(bagon_like, jax.random.key(0))
+        enc_params = restore_checkpoint(bagon_ckpt_path, template)["encoder"]
+    else:
+        bagon_like = RunConfig.from_flat_dict({**cfg.get_config(), "model_name": "bagon"})
+        enc_params = init_params(bagon_like, jax.random.key(seed))["encoder"]
+
+    @jax.jit
+    def encode(ids, mask):
+        out = BertModel(enc_cfg).apply(
+            {"params": enc_params}, ids, attention_mask=mask, deterministic=True
+        )
+        return out["last_hidden_state"]
+
+    chunks = []
+    ids_all = train_split.input_ids
+    mask_all = train_split.attention_mask
+    n = len(ids_all)
+    for b in range(-(-n // batch_size)):
+        sl = slice(b * batch_size, (b + 1) * batch_size)
+        ids, mask = ids_all[sl], mask_all[sl]
+        if len(ids) == 0:
+            continue
+        if len(ids) < batch_size:
+            pad = batch_size - len(ids)
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)])
+            mask = np.concatenate([mask, np.repeat(mask[:1], pad, axis=0)])
+            h = encode(jnp.asarray(ids), jnp.asarray(mask))[: batch_size - pad]
+        else:
+            h = encode(jnp.asarray(ids), jnp.asarray(mask))
+        chunks.append(h.reshape(-1, h.shape[-1]))
+
+    z_flat = jnp.concatenate(chunks)
+    codebook = kmeans_codebook_init(jax.random.key(seed), z_flat, n_e)
+    codebook = np.asarray(codebook, np.float32)
+    if out_path is not None:
+        np.save(out_path, codebook)
+    return codebook

@@ -27,6 +27,14 @@ from kindergarten_vq_vae_tpu.train.optim import make_lr_schedule
 from kindergarten_vq_vae_tpu.train.variants import init_params
 
 
+
+def _pad_to(arr, L):
+    import numpy as _np
+
+    if arr.shape[1] >= L:
+        return arr[:, :L]
+    return _np.pad(arr, ((0, 0), (0, L - arr.shape[1])))
+
 def _tiny_cfg(model_name: str, data_dir: str = "", **model_kw) -> RunConfig:
     return RunConfig(
         model=ModelConfig(
@@ -59,9 +67,10 @@ def _tiny_cfg(model_name: str, data_dir: str = "", **model_kw) -> RunConfig:
 
 @pytest.fixture(scope="module")
 def tiny_splits(tiny_corpus):
+    ids, mask = _pad_to(tiny_corpus["input_ids"], 12), _pad_to(tiny_corpus["attention_mask"], 12)
     ds = DSentences(
-        input_ids=tiny_corpus["input_ids"][:, :12],
-        attention_mask=tiny_corpus["attention_mask"][:, :12],
+        input_ids=ids,
+        attention_mask=mask,
         labels=tiny_corpus["labels_clean"],
         one_hot=tiny_corpus["one_hot_clean"],
         labels8=tiny_corpus["labels8_clean"],
