@@ -144,6 +144,10 @@ class Engine:
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, rngs, False
             )
+            if self.cfg.wandb_watch_model:
+                # functional stand-in for wandb.watch(model, log='all')
+                # (models/bagon/main.py:117-118): global gradient norm
+                aux["grad_norm"] = optax.global_norm(grads)
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema = state.ema
@@ -241,11 +245,16 @@ class Engine:
             n_steps += 1
             if decode:
                 self._decode_batch(batch, aux, epoch, stage)
+            if "grad_norm" in aux:
+                run.setdefault("grad_norm", jnp.zeros((), jnp.float32))
+                run["grad_norm"] = run["grad_norm"] + aux["grad_norm"]
         elapsed = time.perf_counter() - t0
         stats = {}
         for k in stat_keys:
             denom = n_steps if k == "padding_tokens_pct" else max(n_els, 1)
             stats[k] = float(run[k]) / denom
+        if "grad_norm" in run:
+            stats["grad_norm"] = float(run["grad_norm"]) / max(n_steps, 1)
         stats["sentences_per_sec"] = n_els / max(elapsed, 1e-9)
         stats["n_els"] = n_els
         return stats, params
@@ -271,6 +280,35 @@ class Engine:
             self.decoded_sentences.append(row)
 
     # ------------------------------------------------------------------ public
+
+    def save_state(self, path: str) -> None:
+        """Resume bundle: params + optimizer state + step (+ EMA).
+        New capability — resume is an acknowledged reference TODO
+        (models/bagon/main.py:155, SURVEY §5.4)."""
+        from kindergarten_vq_vae_tpu.ckpt.checkpoint import save_train_state
+
+        tree = {"params": self.state.params, "opt_state": self.state.opt_state,
+                "step": self.state.step}
+        if self.state.ema is not None:
+            tree["ema_counts"] = self.state.ema.counts
+            tree["ema_means"] = self.state.ema.means
+        save_train_state(path, tree)
+
+    def restore_state(self, path: str) -> None:
+        from kindergarten_vq_vae_tpu.ckpt.checkpoint import restore_train_state
+
+        template = {"params": self.state.params, "opt_state": self.state.opt_state,
+                    "step": self.state.step}
+        if self.state.ema is not None:
+            template["ema_counts"] = self.state.ema.counts
+            template["ema_means"] = self.state.ema.means
+        tree = restore_train_state(path, template)
+        ema = self.state.ema
+        if ema is not None:
+            ema = EMAState(counts=tree["ema_counts"], means=tree["ema_means"])
+        self.state = TrainState(
+            params=tree["params"], opt_state=tree["opt_state"], ema=ema, step=tree["step"]
+        )
 
     def fit(self, wandb_run=None, console_print: bool = True):
         cfg = self.cfg
@@ -356,6 +394,8 @@ class Engine:
             print(" | ".join(parts))
         if wandb_run is not None:
             log = {"epoch": epoch}
+            if "grad_norm" in stats:
+                log[f"{stage}/grad_norm"] = stats["grad_norm"]
             for k in STAT_KEYS[self.model_name]:
                 if k == "padding_tokens_pct":
                     log[f"padding_tokens_pct/{stage}"] = stats[k]
