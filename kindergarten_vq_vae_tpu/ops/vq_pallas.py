@@ -136,35 +136,42 @@ def _vq_forward_pallas(z_flat, codebook, block_rows: int, interpret: bool):
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _fused_vq(z_flat, codebook, beta: float, block_rows: int, interpret: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _fused_vq_core(z_flat, codebook, block_rows: int, interpret: bool):
+    """Returns (z_q_ste, diff1, diff2, idx, counts, sumz).
+
+    ``diff1``/``diff2`` are numerically identical sums of (z_q - z)^2 but
+    carry the two distinct gradient paths of the VQ loss
+    (VectorQuantizer.py:76-77):
+        diff1 ~ sum((sg[z_q] - z)^2):  d/dz = 2(z - z_q),  d/dE = 0
+        diff2 ~ sum((z_q - sg[z])^2):  d/dz = 0,           d/dE = 2(z_q - z) scattered
+    All scaling/reduction (1/numel, +beta, cross-device sums) happens in the
+    caller with ordinary differentiable ops, so the kernel composes cleanly
+    with shard_map / GSPMD without custom collective handling in the VJP.
+    """
     zq_raw, idx, counts, sumz, diff = _vq_forward_pallas(z_flat, codebook, block_rows, interpret)
-    numel = z_flat.size
-    # value parity: mean((sg[zq]-z)^2) + beta*mean((zq-sg[z])^2) == (1+beta)*mean((zq-z)^2)
-    loss = (1.0 + beta) * diff / numel
     z_q_ste = z_flat + (zq_raw - z_flat)  # gradient defined by custom VJP below
-    return loss, z_q_ste, idx, counts, sumz
+    return z_q_ste, diff, diff, idx, counts, sumz
 
 
-def _fused_vq_fwd(z_flat, codebook, beta, block_rows, interpret):
-    out = _fused_vq(z_flat, codebook, beta, block_rows, interpret)
-    _, _, idx, _, _ = out
+def _fused_vq_core_fwd(z_flat, codebook, block_rows, interpret):
+    out = _fused_vq_core(z_flat, codebook, block_rows, interpret)
+    idx = out[3]
     return out, (z_flat, codebook, idx)
 
 
-def _fused_vq_bwd(beta, block_rows, interpret, res, cotangents):
+def _fused_vq_core_bwd(block_rows, interpret, res, cotangents):
     z_flat, codebook, idx = res
-    g_loss, g_zq, _, _, _ = cotangents
+    g_zq, g_d1, g_d2, _, _, _ = cotangents
     zq_raw = codebook[idx]
-    numel = z_flat.size
-    scale = 2.0 / numel
-    dz = g_zq + g_loss * scale * (z_flat - zq_raw)
-    diff = scale * beta * (zq_raw - z_flat) * g_loss
-    de = jax.ops.segment_sum(diff, idx, num_segments=codebook.shape[0])
+    dz = g_zq + g_d1 * 2.0 * (z_flat - zq_raw)
+    de = jax.ops.segment_sum(
+        g_d2 * 2.0 * (zq_raw - z_flat), idx, num_segments=codebook.shape[0]
+    )
     return dz, de.astype(codebook.dtype)
 
 
-_fused_vq.defvjp(_fused_vq_fwd, _fused_vq_bwd)
+_fused_vq_core.defvjp(_fused_vq_core_fwd, _fused_vq_core_bwd)
 
 
 def fused_vector_quantize(
@@ -178,7 +185,8 @@ def fused_vector_quantize(
 
     Returns the same VQOutput contract (loss, STE z_q, perplexity, one-hot,
     (B,S,1) indices, EMA stats). ``one_hot`` is reconstructed from indices
-    outside the kernel (XLA fuses or DCEs it when unused).
+    outside the kernel (XLA fuses or DCEs it when unused). For explicit
+    data-parallel execution use ``fused_vector_quantize_sharded``.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -189,7 +197,10 @@ def fused_vector_quantize(
     # shrink the tile for small inputs so tiny batches don't pay for padding
     rows = min(block_rows, _round_up(z_flat.shape[0], 8))
 
-    loss, z_q, idx, counts, sumz = _fused_vq(z_flat, codebook, beta, rows, interpret)
+    z_q, d1, d2, idx, counts, sumz = _fused_vq_core(z_flat, codebook, rows, interpret)
+    numel = z_flat.size
+    # value parity: mean((sg[zq]-z)^2) + beta*mean((zq-sg[z])^2)
+    loss = (d1 + beta * d2) / numel
 
     total = jnp.asarray(z_flat.shape[0], jnp.float32)
     e_mean = counts / total
@@ -199,6 +210,83 @@ def fused_vector_quantize(
     return VQOutput(
         loss=loss,
         z_q=z_q.reshape(z.shape),
+        perplexity=perplexity,
+        one_hot=one_hot,
+        indices=idx.reshape(batch, seq_len, 1),
+        counts=counts,
+        sum_z=sumz,
+    )
+
+
+def fused_vector_quantize_sharded(
+    z: jnp.ndarray,
+    codebook: jnp.ndarray,
+    beta: float,
+    mesh,
+    dp_axis: str = "dp",
+    block_rows: int = 512,
+    interpret: bool | None = None,
+) -> VQOutput:
+    """Data-parallel fused VQ: shard_map over ``dp_axis`` so each device runs
+    the Pallas kernel on its local batch shard (instead of GSPMD replicating
+    the kernel via all-gather). Per-shard partial sums come back stacked and
+    are reduced with ordinary differentiable ops, so gradients flow through
+    the standard shard_map transpose — no collectives inside the VJP.
+
+    z_q/one_hot/indices are returned dp-sharded; loss/perplexity/counts/
+    sum_z are global.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # moved in newer jax
+        from jax.shard_map import shard_map  # type: ignore
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    batch, seq_len, dim = z.shape
+    n_e = codebook.shape[0]
+
+    def local(z_, e_):
+        zf = z_.reshape(-1, dim).astype(jnp.float32)
+        rows = min(block_rows, _round_up(zf.shape[0], 8))
+        z_q, d1, d2, idx, counts, sumz = _fused_vq_core(zf, e_, rows, interpret)
+        # add a leading per-shard axis for the stacked out_specs
+        return (
+            z_q.reshape(z_.shape),
+            d1[None],
+            d2[None],
+            idx.reshape(z_.shape[0], seq_len),
+            counts[None],
+            sumz[None],
+        )
+
+    out_specs = (P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis))
+    try:
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=(P(dp_axis), P()), out_specs=out_specs,
+            check_vma=False,  # pallas out_shapes carry no vma info
+        )
+    except TypeError:  # older jax spells it check_rep
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=(P(dp_axis), P()), out_specs=out_specs,
+            check_rep=False,
+        )
+    z_q, d1s, d2s, idx, counts_s, sumz_s = mapped(z, codebook)
+
+    numel = z.size
+    loss = (jnp.sum(d1s) + beta * jnp.sum(d2s)) / numel
+    counts = jnp.sum(counts_s, axis=0)
+    sumz = jnp.sum(sumz_s, axis=0)
+    total = jnp.asarray(batch * seq_len, jnp.float32)
+    e_mean = counts / total
+    perplexity = jnp.exp(-jnp.sum(e_mean * jnp.log(e_mean + 1e-10)))
+    one_hot = jax.nn.one_hot(idx.reshape(-1), n_e, dtype=z_q.dtype)
+
+    return VQOutput(
+        loss=loss,
+        z_q=z_q,
         perplexity=perplexity,
         one_hot=one_hot,
         indices=idx.reshape(batch, seq_len, 1),

@@ -94,3 +94,46 @@ def test_graft_dryrun_multichip():
     spec.loader.exec_module(m)
     m.dryrun_multichip(8)  # asserts finite loss internally
     m.dryrun_multichip(2)  # dp-only path
+
+
+def test_fused_vq_sharded_matches_oracle():
+    """shard_map'd Pallas VQ: forward + gradients match the global oracle."""
+    from kindergarten_vq_vae_tpu.ops.vq import vector_quantize
+    from kindergarten_vq_vae_tpu.ops.vq_pallas import fused_vector_quantize_sharded
+    from jax.sharding import NamedSharding
+
+    mesh = make_mesh((8,), ("dp",))
+    rng = np.random.default_rng(0)
+    z = np.asarray(rng.normal(size=(16, 12, 128)), np.float32)
+    e = np.asarray(rng.normal(size=(9, 128)), np.float32)
+    z_sh = jax.device_put(z, NamedSharding(mesh, P("dp")))
+    e_sh = jax.device_put(e, NamedSharding(mesh, P()))
+    ref = vector_quantize(jnp.asarray(z), jnp.asarray(e), 0.25)
+
+    @jax.jit
+    def f(z_, e_):
+        o = fused_vector_quantize_sharded(z_, e_, 0.25, mesh)
+        return o.loss, o.z_q, o.counts, o.perplexity
+
+    loss, zq, counts, perp = f(z_sh, e_sh)
+    np.testing.assert_allclose(float(loss), float(ref.loss), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(zq), np.asarray(ref.z_q), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(counts), np.asarray(ref.counts))
+    np.testing.assert_allclose(float(perp), float(ref.perplexity), rtol=1e-4)
+
+    @jax.jit
+    def g(z_, e_):
+        def L(zz, ee):
+            o = fused_vector_quantize_sharded(zz, ee, 0.25, mesh)
+            return o.loss + jnp.sum(o.z_q * 0.5)
+        return jax.grad(L, argnums=(0, 1))(z_, e_)
+
+    gz, ge = g(z_sh, e_sh)
+
+    def Lr(zz, ee):
+        o = vector_quantize(zz, ee, 0.25)
+        return o.loss + jnp.sum(o.z_q * 0.5)
+
+    gzr, ger = jax.grad(Lr, argnums=(0, 1))(jnp.asarray(z), jnp.asarray(e))
+    np.testing.assert_allclose(np.asarray(gz), np.asarray(gzr), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ge), np.asarray(ger), atol=1e-5)
