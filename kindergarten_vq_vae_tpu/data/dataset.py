@@ -37,6 +37,10 @@ class DSentences:
 
     input_ids: np.ndarray
     attention_mask: np.ndarray
+    # optional decoder-side tokenization (dual-tokenizer configs, e.g. a
+    # GPT-2 decoder: ref models/bagon/main.py:65-73 tokenizes twice)
+    dec_input_ids: np.ndarray | None = None
+    dec_attention_mask: np.ndarray | None = None
     labels: np.ndarray | None = None
     one_hot: np.ndarray | None = None
     labels8: np.ndarray | None = None
@@ -45,7 +49,7 @@ class DSentences:
 
     def __post_init__(self):
         n = len(self.input_ids)
-        for name in ("attention_mask", "labels", "one_hot", "labels8", "one_hot8"):
+        for name in ("attention_mask", "dec_input_ids", "dec_attention_mask", "labels", "one_hot", "labels8", "one_hot8"):
             arr = getattr(self, name)
             if arr is not None and len(arr) != n:
                 raise AssertionError(
@@ -60,6 +64,8 @@ class DSentences:
         return DSentences(
             input_ids=self.input_ids[idx],
             attention_mask=self.attention_mask[idx],
+            dec_input_ids=None if self.dec_input_ids is None else self.dec_input_ids[idx],
+            dec_attention_mask=None if self.dec_attention_mask is None else self.dec_attention_mask[idx],
             labels=None if self.labels is None else self.labels[idx],
             one_hot=None if self.one_hot is None else self.one_hot[idx],
             labels8=None if self.labels8 is None else self.labels8[idx],
@@ -155,6 +161,9 @@ class BatchIterator:
                 "n_valid": np.int32(n_valid),
                 "index": idx,
             }
+            if self.ds.dec_input_ids is not None:
+                batch["dec_input_ids"] = self.ds.dec_input_ids[idx]
+                batch["dec_attention_mask"] = self.ds.dec_attention_mask[idx]
             if self.ds.labels is not None:
                 batch["labels"] = self.ds.labels[idx]
             if self.ds.one_hot is not None:

@@ -164,3 +164,119 @@ class WordPieceTokenizer(_BaseTokenizer):
         for w in words:
             out.extend(self._wordpiece(w))
         return out
+
+
+def _bytes_to_unicode():
+    """GPT-2's reversible byte<->unicode map (printable surrogates for
+    control bytes; 'Ġ' is the space marker)."""
+    bs = list(range(ord("!"), ord("~") + 1)) + list(range(ord("¡"), ord("¬") + 1)) + list(range(ord("®"), ord("ÿ") + 1))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+class BPETokenizer:
+    """GPT-2-style byte-level BPE, loading ``vocab.json`` + ``merges.txt``
+    (the reference's GPT-2 decoder tokenizer path, models/bagon/main.py:69-73,
+    including pad = eos). Self-contained: no HF runtime, no network."""
+
+    def __init__(self, vocab: dict[str, int], merges: list[tuple[str, str]],
+                 eos_token: str = "<|endoftext|>"):
+        self.vocab = dict(vocab)
+        self.inv_vocab = {v: k for k, v in self.vocab.items()}
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self.eos_token = eos_token
+        self._cache: dict[str, list[str]] = {}
+
+    @classmethod
+    def from_files(cls, vocab_json_path: str, merges_path: str) -> "BPETokenizer":
+        import json as _json
+
+        with open(vocab_json_path) as f:
+            vocab = _json.load(f)
+        merges = []
+        with open(merges_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                a, _, b = line.partition(" ")
+                merges.append((a, b))
+        return cls(vocab, merges)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def eos_token_id(self) -> int:
+        return self.vocab[self.eos_token]
+
+    @property
+    def pad_token_id(self) -> int:
+        # GPT-2 has no pad token; the reference sets pad = eos (main.py:71)
+        return self.eos_token_id
+
+    def _bpe(self, token: str) -> list[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = list(token)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, float("inf")))
+            if best not in self.bpe_ranks:
+                break
+            merged, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and (word[i], word[i + 1]) == best:
+                    merged.append(word[i] + word[i + 1])
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        self._cache[token] = word
+        return word
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> list[int]:
+        # whitespace pretokenization with the leading-space marker, matching
+        # GPT-2's regex for plain word text
+        ids: list[int] = []
+        for i, word in enumerate(text.strip().split()):
+            chunk = (" " + word) if i > 0 else word
+            mapped = "".join(self.byte_encoder[b] for b in chunk.encode("utf-8"))
+            for piece in self._bpe(mapped):
+                ids.append(self.vocab[piece])
+        return ids
+
+    def encode_word(self, word: str) -> list[int]:
+        mapped = "".join(self.byte_encoder[b] for b in (" " + word).encode("utf-8"))
+        return [self.vocab[p] for p in self._bpe(mapped)]
+
+    def encode_batch(self, sentences: list[str], max_length: int, add_special_tokens: bool = False):
+        import numpy as np
+
+        pad = self.pad_token_id
+        ids = np.full((len(sentences), max_length), pad, dtype=np.int32)
+        mask = np.zeros((len(sentences), max_length), dtype=np.int32)
+        for i, s in enumerate(sentences):
+            enc = self.encode(s)[:max_length]
+            ids[i, : len(enc)] = enc
+            mask[i, : len(enc)] = 1
+        return ids, mask
+
+    def decode(self, ids, skip_special_tokens: bool = True) -> str:
+        text = "".join(self.inv_vocab.get(int(i), "") for i in ids
+                       if not (skip_special_tokens and int(i) == self.eos_token_id))
+        raw = bytearray(self.byte_decoder[ch] for ch in text if ch in self.byte_decoder)
+        return raw.decode("utf-8", errors="replace")
+
+    def batch_decode(self, batch_ids, skip_special_tokens: bool = True) -> list[str]:
+        return [self.decode(row, skip_special_tokens) for row in batch_ids]

@@ -11,11 +11,12 @@ from __future__ import annotations
 from flax import linen as nn
 
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config, GPT2LMHeadModel
 
 
 class Bagon(nn.Module):
     enc_cfg: BertConfig
-    dec_cfg: BertConfig
+    dec_cfg: object  # BertConfig or GPT2Config
 
     @nn.compact
     def __call__(
@@ -32,7 +33,7 @@ class Bagon(nn.Module):
             attention_mask=encoder_attention_mask,
             deterministic=deterministic,
         )
-        dec_out = BertLMHeadModel(self.dec_cfg, name="decoder")(
+        dec_out = (GPT2LMHeadModel if isinstance(self.dec_cfg, GPT2Config) else BertLMHeadModel)(self.dec_cfg, name="decoder")(
             decoder_input_ids,
             attention_mask=decoder_attention_mask,
             encoder_hidden_states=enc_out["last_hidden_state"],

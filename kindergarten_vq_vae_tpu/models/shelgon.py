@@ -17,12 +17,13 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config, GPT2LMHeadModel
 from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_softmax
 
 
 class Shelgon(nn.Module):
     enc_cfg: BertConfig
-    dec_cfg: BertConfig
+    dec_cfg: object  # BertConfig or GPT2Config
     emb_size: int = 768
     seq_len: int = 14
     num_latent_classes: int = 5
@@ -68,7 +69,7 @@ class Shelgon(nn.Module):
         y = jnp.einsum("bcl,sc->bsl", pred_latent_classes, w_out) + b_out[None, :, None]  # (B, S, L)
         conditioning = nn.Dense(self.emb_size, kernel_init=init, name="proj_out_dense")(y)  # (B, S, E)
 
-        dec_out = BertLMHeadModel(self.dec_cfg, name="decoder")(
+        dec_out = (GPT2LMHeadModel if isinstance(self.dec_cfg, GPT2Config) else BertLMHeadModel)(self.dec_cfg, name="decoder")(
             decoder_input_ids,
             attention_mask=decoder_attention_mask,
             encoder_hidden_states=conditioning,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config, GPT2LMHeadModel
 from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_softmax
 from kindergarten_vq_vae_tpu.utils.tensor import replace_pct_rand_values
 
@@ -85,7 +86,7 @@ class SentenceDiscretizer(nn.Module):
 
 class Shelgon2(nn.Module):
     enc_cfg: BertConfig
-    dec_cfg: BertConfig
+    dec_cfg: object  # BertConfig or GPT2Config
     word_emb_size: int = 768
     sentence_len: int = 14
     num_latent_gen_factors: int = 8
@@ -119,7 +120,7 @@ class Shelgon2(nn.Module):
                 key, input_ids, self.mask_pct, 0, self.dec_cfg.vocab_size
             )
 
-        dec_out = BertLMHeadModel(self.dec_cfg, name="decoder")(
+        dec_out = (GPT2LMHeadModel if isinstance(self.dec_cfg, GPT2Config) else BertLMHeadModel)(self.dec_cfg, name="decoder")(
             decoder_input_ids,
             attention_mask=attention_mask,
             encoder_hidden_states=discretized,

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
+from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config, GPT2LMHeadModel
 from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_quantize, unique_count_perplexity
 from kindergarten_vq_vae_tpu.ops.vq import vector_quantize
 from kindergarten_vq_vae_tpu.ops.vq_pallas import fused_vector_quantize
@@ -83,7 +84,7 @@ class GumbelQuantizerModule(nn.Module):
 
 class Shelgon3(nn.Module):
     enc_cfg: BertConfig
-    dec_cfg: BertConfig
+    dec_cfg: object  # BertConfig or GPT2Config
     vq_mode: str = "VectorQuantizer"  # or "GumbelQuantizer"
     vq_n_e: int = 9
     vq_e_dim: int = 768
@@ -146,7 +147,7 @@ class Shelgon3(nn.Module):
         else:
             raise ValueError(f"{self.vq_mode} vector quantizer mode NOT supported")
 
-        dec_out = BertLMHeadModel(self.dec_cfg, name="decoder")(
+        dec_out = (GPT2LMHeadModel if isinstance(self.dec_cfg, GPT2Config) else BertLMHeadModel)(self.dec_cfg, name="decoder")(
             input_ids,
             attention_mask=attention_mask,
             encoder_hidden_states=z_q,

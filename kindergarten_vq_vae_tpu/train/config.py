@@ -46,6 +46,9 @@ class ModelConfig:
     cross_attn_make_trainable: bool = True
     # BERT geometry (bert-base defaults; shrink for tests/smoke runs)
     vocab_size: int = 30522
+    # decoder-side overrides (ref VOCAB_SIZE_DECODER / the GPT-2 decoder
+    # option, models/bagon/main.py:69-73); None -> same as encoder
+    decoder_vocab_size: Optional[int] = None
     hidden_size: int = 768
     num_layers: int = 12
     num_heads: int = 12

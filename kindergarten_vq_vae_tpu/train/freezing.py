@@ -63,6 +63,7 @@ def trainable_mask(
 
         # dec-head-ft base rules
         trainable = False
+        gpt2_cross = ("q_attn", "crossattention_c_attn", "crossattention_c_proj", "ln_cross_attn")
         if top == "decoder":
             if path[1] == "mlm_head":
                 # transform.dense + decoder projection (+ bias); the
@@ -74,6 +75,14 @@ def trainable_mask(
                     trainable = True  # tied-head torch parity
                 if len(path) > 3 and path[3] == "cross_attn" and cross_attn_trainable:
                     trainable = True
+            # GPT-2 decoder layout (Bagon.py:109-110 lm_head; :120-124
+            # crossattention + ln_cross_attn per block)
+            elif path[1] == "lm_head_kernel":
+                trainable = True
+            elif path[1] == "wte" and tie_word_embeddings:
+                trainable = True  # tied lm_head IS wte in torch
+            elif path[1].startswith("layer_") and len(path) > 2 and path[2] in gpt2_cross and cross_attn_trainable:
+                trainable = True
         if mode == "enc-head-ft-dec-head-ft" and top == "encoder":
             if path[1] == f"layer_{n_layers - 1}" or path[1] == "pooler":
                 trainable = True

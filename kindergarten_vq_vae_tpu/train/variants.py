@@ -33,7 +33,12 @@ from kindergarten_vq_vae_tpu.utils.tensor import (
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 
-def bert_configs(cfg: RunConfig) -> tuple[BertConfig, BertConfig]:
+def bert_configs(cfg: RunConfig):
+    """(encoder BertConfig, decoder BertConfig-or-GPT2Config).
+
+    A 'gpt' decoder_model_name selects the GPT-2 decoder, mirroring the
+    reference's BERT-vs-GPT2 decoder selectors (models/bagon/Bagon.py:109-124,
+    main.py:69-73)."""
     m = cfg.model
     common = dict(
         vocab_size=m.vocab_size,
@@ -47,7 +52,26 @@ def bert_configs(cfg: RunConfig) -> tuple[BertConfig, BertConfig]:
         dtype=_DTYPES[m.compute_dtype],
     )
     enc = BertConfig(add_pooler=True, **common)
-    dec = BertConfig(is_decoder=True, add_cross_attention=True, add_pooler=False, **common)
+    dec_vocab = m.decoder_vocab_size or m.vocab_size
+    if "gpt" in m.decoder_model_name:
+        from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config
+
+        dec = GPT2Config(
+            vocab_size=dec_vocab,
+            hidden_size=m.hidden_size,
+            num_layers=m.num_layers,
+            num_heads=m.num_heads,
+            hidden_dropout=m.hidden_dropout,
+            attention_dropout=m.attention_dropout,
+            tie_word_embeddings=m.tie_word_embeddings,
+            add_cross_attention=True,
+            dtype=_DTYPES[m.compute_dtype],
+        )
+    else:
+        dec = BertConfig(
+            is_decoder=True, add_cross_attention=True, add_pooler=False,
+            **{**common, "vocab_size": dec_vocab},
+        )
     return enc, dec
 
 
@@ -131,6 +155,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
     name = cfg.model.model_name
     o = cfg.optim
     vocab = cfg.model.vocab_size
+    dec_vocab = cfg.model.decoder_vocab_size or vocab
     enc_pct = getattr(cfg, f"encoder_perturb_{stage}_pct")
     dec_pct = getattr(cfg, f"decoder_perturb_{stage}_pct")
     is_training = stage == "train"
@@ -138,14 +163,16 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
     def bagon_loss(params, batch, rngs, deterministic):
         valid = _valid_row(batch)
         k1, k2 = jax.random.split(rngs["perturb"])
+        dec_src = batch.get("dec_input_ids", batch["input_ids"])
+        dec_mask = batch.get("dec_attention_mask", batch["attention_mask"])
         enc_ids = replace_pct_rand_values(k1, batch["input_ids"], enc_pct, 0, vocab)
-        dec_ids = replace_pct_rand_values(k2, batch["input_ids"], dec_pct, 0, vocab)
+        dec_ids = replace_pct_rand_values(k2, dec_src, dec_pct, 0, dec_vocab)
         out = model.apply(
             {"params": params},
             enc_ids,
             batch["attention_mask"],
             dec_ids,
-            batch["attention_mask"],
+            dec_mask,
             deterministic=deterministic,
             rngs={k: v for k, v in rngs.items() if k != "perturb"},
         )
@@ -166,12 +193,14 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
     def shelgon_loss(params, batch, rngs, deterministic):
         valid = _valid_row(batch)
         k1, k2 = jax.random.split(rngs["perturb"])
+        dec_src = batch.get("dec_input_ids", batch["input_ids"])
         # column-wise corruption (shelgon/Trainer.py:93-107 uses
         # change_percentage_of_elements on dim=1)
         enc_ids = replace_pct_rand_columns(k1, batch["input_ids"], enc_pct, 0, vocab)
-        dec_ids = replace_pct_rand_columns(k2, batch["input_ids"], dec_pct, 0, vocab)
+        dec_ids = replace_pct_rand_columns(k2, dec_src, dec_pct, 0, dec_vocab)
         enc_mask = batch["attention_mask"] if cfg.model.use_mask_encoder else None
-        dec_mask = batch["attention_mask"] if cfg.model.use_mask_decoder else None
+        dec_mask = (batch.get("dec_attention_mask", batch["attention_mask"])
+                    if cfg.model.use_mask_decoder else None)
         out = model.apply(
             {"params": params},
             enc_ids,
@@ -184,11 +213,11 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
         # NOTE parity: the reference's recon target is the *unperturbed*
         # decoder ids in shelgon (Trainer.py:117-121 uses input_ids_decoder,
         # not the perturbed copy)
-        loss_recon = kl_recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_recon = kl_recon_loss(out["logits"], dec_src, valid)
         loss_pred = kl_onehot_loss(out["pred_latent_logits"], batch["one_hot"], valid)
         loss_full = loss_recon + loss_pred
         recon_ids = jnp.argmax(out["logits"], axis=-1)
-        acc, acc_per_sentence = seq_acc(recon_ids, batch["input_ids"])
+        acc, acc_per_sentence = seq_acc(recon_ids, dec_src)
         pred_labels = jnp.argmax(out["pred_latent_classes"], axis=-1)
         acc_pred, _ = seq_acc(pred_labels, batch["labels"])
         aux = {
@@ -200,7 +229,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
             "padding_tokens_pct": padding_tokens_pct(batch["input_ids"]),
             "recon_ids": recon_ids,
             "acc_per_sentence": acc_per_sentence,
-            "target_ids": batch["input_ids"],
+            "target_ids": dec_src,
         }
         return loss_full, aux
 
