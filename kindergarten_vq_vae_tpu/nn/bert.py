@@ -52,6 +52,7 @@ class BertConfig:
     add_cross_attention: bool = False
     add_pooler: bool = True
     tie_word_embeddings: bool = True
+    remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property
@@ -229,8 +230,12 @@ class BertModel(nn.Module):
         cfg = self.cfg
         x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids, deterministic)
         self_attns, cross_attns = [], []
+        layer_cls = BertLayer
+        if cfg.remat and not output_attentions:
+            # rematerialize activations in backward (HBM-for-FLOPs trade)
+            layer_cls = nn.remat(BertLayer, static_argnums=(5,))
         for i in range(cfg.num_layers):
-            x, sp, cp = BertLayer(cfg, name=f"layer_{i}")(
+            x, sp, cp = layer_cls(cfg, name=f"layer_{i}")(
                 x, attention_mask, encoder_hidden_states, encoder_attention_mask, deterministic
             )
             if output_attentions:

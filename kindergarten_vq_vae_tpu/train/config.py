@@ -56,6 +56,7 @@ class ModelConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     tie_word_embeddings: bool = True
+    remat: bool = False  # jax.checkpoint per transformer layer
     compute_dtype: str = "bfloat16"  # MXU-native; 'float32' for parity checks
     # shelgon (latent-class bottleneck)
     emb_size: int = 768
