@@ -108,12 +108,22 @@ def tokenize_corpus(
     tokenizer,
     max_length: int,
     add_special_tokens: bool = True,
+    use_native: bool = True,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Tokenize the whole corpus once into (N, max_length) int32 ids + mask.
 
     This is the TPU-first replacement for per-step CPU tokenization
-    (models/bagon/Trainer.py:79-83): static shapes, done offline.
+    (models/bagon/Trainer.py:79-83): static shapes, done offline. Uses the
+    multithreaded C++ packer (data/native.py) when a toolchain is available,
+    with bit-identical python fallback.
     """
+    if use_native:
+        from kindergarten_vq_vae_tpu.data.native import tokenize_corpus_native
+
+        out = tokenize_corpus_native(sentences, tokenizer, max_length, add_special_tokens)
+        if out is not None:
+            return out
+
     n = len(sentences)
     ids = np.zeros((n, max_length), dtype=np.int32)
     mask = np.zeros((n, max_length), dtype=np.int32)
