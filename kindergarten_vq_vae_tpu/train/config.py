@@ -35,6 +35,15 @@ class DataConfig:
     tokenizer_add_special_tokens: bool = True
     tokenized_sentence_max_length: int = 12
     generate_if_missing: bool = True  # synthesize the corpus when artifacts absent
+    # reference-schema compat (SURVEY §2.8). Tokenizer names select the
+    # tokenizer kind when their files are present locally; num_workers /
+    # pin_memory are torch DataLoader knobs that have no equivalent in the
+    # packed-array pipeline — accepted so reference configs load, unused.
+    tokenizer_name: str = ""
+    tokenizer_name_encoder: str = ""
+    tokenizer_name_decoder: str = ""
+    num_workers: int = 0
+    pin_memory: bool = False
 
 
 @dataclass
