@@ -79,16 +79,17 @@ def bench_tpu_train() -> float:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    # warmup / compile
+    # warmup / compile; float() forces full materialization (through the TPU
+    # tunnel, block_until_ready alone can under-report)
     params, opt_state, loss = train_step(params, opt_state, batch, 0)
-    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
 
     t0 = time.perf_counter()
     for i in range(N_STEPS):
         params, opt_state, loss = train_step(params, opt_state, batch, i + 1)
-    jax.block_until_ready((params, loss))
+    final = float(loss)  # host materialization of the chain's last value
     dt = (time.perf_counter() - t0) / N_STEPS
-    assert np.isfinite(float(loss)), "non-finite loss in benchmark"
+    assert np.isfinite(final), "non-finite loss in benchmark"
     return BATCH / dt
 
 

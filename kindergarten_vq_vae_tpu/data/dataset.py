@@ -77,22 +77,15 @@ class DSentences:
 
     @classmethod
     def from_artifacts(cls, artifacts: dict) -> "DSentences":
-        """Build from data/prepare.py ``prepare_all`` output."""
-        oh = artifacts["latent_classes_one_hot_clean"]
-        labels8 = None
-        one_hot8 = None
-        if "latent_classes_one_hot_full" in artifacts:
-            # 8-factor one-hot aligned to the clean (deduped) sentence set is
-            # not produced by the reference pipeline; Shelgon2 consumes the
-            # full-corpus 8-factor arrays via its own config paths.
-            pass
+        """Build from data/prepare.py ``prepare_all`` output (including the
+        8-factor arrays aligned to the clean sentence set for Shelgon2)."""
         return cls(
             input_ids=artifacts["input_ids"],
             attention_mask=artifacts["attention_mask"],
             labels=artifacts["latent_classes_labels_clean"],
-            one_hot=oh,
-            labels8=labels8,
-            one_hot8=one_hot8,
+            one_hot=artifacts["latent_classes_one_hot_clean"],
+            labels8=artifacts.get("latent_classes_labels8_clean"),
+            one_hot8=artifacts.get("latent_classes_one_hot8_clean"),
             sentences=artifacts["sentences_clean"],
         )
 

@@ -1,0 +1,119 @@
+"""Observability + artifact contracts: wandb key schema, from_artifacts,
+Shelgon2 override hooks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kindergarten_vq_vae_tpu.data.dataset import DSentences, split_dataset
+from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, OptimConfig, RunConfig
+from kindergarten_vq_vae_tpu.train.engine import Engine
+from kindergarten_vq_vae_tpu.train.variants import build_model, init_params
+
+
+def _pad_to(arr, L):
+    if arr.shape[1] >= L:
+        return arr[:, :L]
+    return np.pad(arr, ((0, 0), (0, L - arr.shape[1])))
+
+
+class FakeWandb:
+    def __init__(self):
+        self.logged = []
+
+    def log(self, d):
+        self.logged.append(d)
+
+
+def _tiny_cfg(model_name, **kw):
+    return RunConfig(
+        model=ModelConfig(
+            model_name=model_name, vocab_size=128, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64, compute_dtype="float32",
+            emb_size=32, word_embedding_size=32, vq_e_dim=32, enc_out_size=32,
+            vq_n_e=5, **kw,
+        ),
+        data=DataConfig(batch_size=16, tokenized_sentence_max_length=12,
+                        lim_batches_train_pct=0.03, lim_batches_val_pct=0.05,
+                        lim_batches_test_pct=0.05),
+        optim=OptimConfig(lr=1e-3),
+        n_epochs=1, n_epochs_to_decode_after=10,
+    )
+
+
+@pytest.fixture(scope="module")
+def splits(tiny_corpus):
+    ds = DSentences(
+        input_ids=_pad_to(tiny_corpus["input_ids"], 12),
+        attention_mask=_pad_to(tiny_corpus["attention_mask"], 12),
+        labels=tiny_corpus["labels_clean"],
+        one_hot=tiny_corpus["one_hot_clean"],
+        labels8=tiny_corpus["labels8_clean"],
+        one_hot8=tiny_corpus["one_hot8_clean"],
+        sentences=tiny_corpus["sentences_clean"],
+    )
+    tr, va, te = split_dataset(ds)
+    return {"train": tr, "val": va, "test": te}
+
+
+def test_wandb_key_schema_shelgon3(splits):
+    """Epoch log dicts use the reference key names
+    (shelgon3/Trainer.py:204-213: {stage}/loss_recon, {stage}/loss_vq,
+    {stage}/perp, {stage}/acc, padding_tokens_pct/{stage}, epoch)."""
+    cfg = _tiny_cfg("shelgon3")
+    eng = Engine(cfg, splits)
+    fake = FakeWandb()
+    eng.fit(wandb_run=fake, console_print=False)
+    assert len(fake.logged) == 2  # train + val for 1 epoch
+    train_log = fake.logged[0]
+    for key in ("epoch", "train/loss_recon", "train/loss_vq", "train/loss_full",
+                "train/perp", "train/acc", "padding_tokens_pct/train"):
+        assert key in train_log, f"missing {key}: {sorted(train_log)}"
+    val_log = fake.logged[1]
+    assert "val/loss_recon" in val_log and val_log["epoch"] == 1
+
+
+def test_from_artifacts_roundtrip(tiny_corpus):
+    from kindergarten_vq_vae_tpu.data.prepare import prepare_all
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        generate_dsentences(tmp, num_verbs=1, num_objects=1)
+        art = prepare_all(tmp)
+        ds = DSentences.from_artifacts(art)
+    assert ds.labels8 is not None and ds.labels8.shape[1] == 8
+    assert ds.one_hot8 is not None and ds.one_hot8.shape[1:] == (8, 3)
+    np.testing.assert_array_equal(np.argmax(ds.one_hot8, -1), ds.labels8)
+    assert len(ds) == len(ds.sentences)
+
+
+def test_shelgon2_override_hooks(splits):
+    """Per-factor override logits bypass gumbel sampling and pin the labels
+    (the traversal-analysis hook, ref models/shelgon2/Shelgon2.py:40-44)."""
+    cfg = _tiny_cfg("shelgon2")
+    model = build_model(cfg, "test")
+    params = init_params(cfg, jax.random.key(0))
+    tr = splits["train"]
+    ids = jnp.asarray(tr.input_ids[:4])
+    mask = jnp.asarray(tr.attention_mask[:4])
+
+    override = jnp.zeros((4, 3)).at[:, 2].set(1.0)  # pin tense -> class 2
+    out = model.apply(
+        {"params": params}, ids, mask, deterministic=True,
+        overrides={"tense": override},
+        rngs={"gumbel": jax.random.key(1)},
+    )
+    # factor order: FACTOR_NAMES index of 'tense' is 6
+    labels = np.asarray(out["gen_factors_labels"])
+    assert (labels[:, 6] == 2).all()
+    # other factors unaffected by the override value choice
+    out2 = model.apply(
+        {"params": params}, ids, mask, deterministic=True,
+        overrides={"tense": jnp.zeros((4, 3)).at[:, 0].set(1.0)},
+        rngs={"gumbel": jax.random.key(1)},
+    )
+    labels2 = np.asarray(out2["gen_factors_labels"])
+    assert (labels2[:, 6] == 0).all()
+    np.testing.assert_array_equal(labels[:, :6], labels2[:, :6])
