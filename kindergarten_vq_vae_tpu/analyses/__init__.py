@@ -11,4 +11,7 @@ from kindergarten_vq_vae_tpu.analyses.cross_attention import (
     extract_cross_attention,
     plot_cross_attention,
 )
-from kindergarten_vq_vae_tpu.analyses.latent_space import latent_space_visualization
+from kindergarten_vq_vae_tpu.analyses.latent_space import (
+    compute_sentence_latents,
+    latent_space_visualization,
+)

@@ -12,6 +12,44 @@ import os
 import numpy as np
 
 
+def compute_sentence_latents(model, params, input_ids, attention_mask, batch_size: int = 512,
+                             out_path: str | None = None):
+    """Sentence-level latent representations (encoder pooler output) over a
+    dataset — the cached ``sentence_latent_reps`` artifact the reference's
+    latent-space analysis loads. Batched jit inference."""
+    import jax
+    import jax.numpy as jnp
+
+    from kindergarten_vq_vae_tpu.nn.bert import BertModel
+
+    enc_cfg = model.enc_cfg
+
+    @jax.jit
+    def encode(ids, mask):
+        out = BertModel(enc_cfg).apply(
+            {"params": params["encoder"]}, ids, attention_mask=mask, deterministic=True
+        )
+        return out["pooler_output"]
+
+    n = len(input_ids)
+    chunks = []
+    for b in range(-(-n // batch_size)):
+        sl = slice(b * batch_size, (b + 1) * batch_size)
+        ids, mask = input_ids[sl], attention_mask[sl]
+        m = len(ids)
+        if m == 0:
+            continue
+        if m < batch_size:
+            pad = batch_size - m
+            ids = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)])
+            mask = np.concatenate([mask, np.repeat(mask[:1], pad, axis=0)])
+        chunks.append(np.asarray(encode(jnp.asarray(ids), jnp.asarray(mask)))[:m])
+    latents = np.concatenate(chunks)
+    if out_path is not None:
+        np.save(out_path, latents)
+    return latents
+
+
 def _minmax(x):
     lo, hi = x.min(), x.max()
     return (x - lo) / (hi - lo + 1e-12)

@@ -58,6 +58,20 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _prefetch(iterator, put_fn, depth: int = 2):
+    """Host->device double buffering: stage the next batch's transfer while
+    the current step runs (async dispatch makes device_put non-blocking)."""
+    import collections
+
+    queue = collections.deque()
+    for batch in iterator:
+        queue.append((batch, put_fn(batch)))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
+
+
 def explicit_latent_classes_labels(labels5) -> dict:
     """Human-readable names for the 5 clean factors
     (ref models/bagon/Trainer.py:202-246)."""
@@ -216,8 +230,9 @@ class Engine:
         if self.mesh is not None:
             from kindergarten_vq_vae_tpu.parallel.mesh import shard_batch
 
-            out = shard_batch(self.mesh, out)
-        return out
+            return shard_batch(self.mesh, out)
+        # async H2D now (prefetch) instead of synchronously at jit call time
+        return jax.device_put(out)
 
     def _run_stage(self, stage: str, iterator, params, epoch: int, decode: bool):
         stat_keys = STAT_KEYS[self.model_name]
@@ -225,11 +240,10 @@ class Engine:
         n_els = 0
         n_steps = 0
         t0 = time.perf_counter()
-        for i, batch in enumerate(iterator):
+        for i, (batch, device_batch) in enumerate(_prefetch(iterator, self._put_batch)):
             n_valid = int(batch["n_valid"])
             stage_id = {"train": 0, "val": 1, "test": 2}[stage]
             key = jax.random.fold_in(self._base_key, epoch * 1_000_003 + i * 3 + stage_id)
-            device_batch = self._put_batch(batch)
             if stage == "train":
                 self.state, aux = self._train_step(self.state, device_batch, key)
                 params = self.state.params

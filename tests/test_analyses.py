@@ -189,3 +189,19 @@ def test_codebook_init_kmeans(splits):
     assert np.isfinite(cb).all()
     # distinct centroids
     assert len(np.unique(cb.round(4), axis=0)) == 5
+
+
+def test_compute_sentence_latents(splits):
+    from kindergarten_vq_vae_tpu.analyses.latent_space import compute_sentence_latents
+
+    cfg = _tiny_cfg("bagon")
+    model = build_model(cfg, "test")
+    params = init_params(cfg, jax.random.key(0))
+    tr = splits["train"]
+    latents = compute_sentence_latents(
+        model, params, tr.input_ids[:40], tr.attention_mask[:40], batch_size=16
+    )
+    assert latents.shape == (40, cfg.model.hidden_size)
+    assert np.isfinite(latents).all()
+    # pooler output is tanh-bounded
+    assert np.abs(latents).max() <= 1.0 + 1e-5
