@@ -107,3 +107,33 @@ def plot_cross_attention(attns: np.ndarray, out_dir: str, prefix: str = "cross_a
         _save(attns[layer].mean(axis=0), f"{prefix}_l{layer}_headmean", f"layer {layer} (head mean)")
     _save(attns.mean(axis=(0, 1)), f"{prefix}_layerheadmean", "layer+head mean")
     return paths
+
+
+def _main():
+    import argparse
+
+    from kindergarten_vq_vae_tpu.analyses.common import load_run
+    from kindergarten_vq_vae_tpu.train.run import load_data
+
+    p = argparse.ArgumentParser(description="cross-attention extraction + heatmaps (ref analyses/cross_attention)")
+    p.add_argument("run_dir")
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--plot", action="store_true")
+    args = p.parse_args()
+
+    cfg, model, params = load_run(args.run_dir)
+    splits, _ = load_data(cfg)
+    test = splits["test"]
+    out_path = f"{args.run_dir}/attention_maps.npz"
+    result = extract_cross_attention(
+        model, params, test.input_ids, test.attention_mask,
+        batch_size=args.batch_size, model_kind=cfg.model.model_name, out_path=out_path,
+    )
+    print(f"saved {out_path}: cross {result['cross_attns'].shape}, self {result['self_attns'].shape}")
+    if args.plot:
+        paths = plot_cross_attention(result["cross_attns"], f"{args.run_dir}/attention_plots")
+        print(f"{len(paths)} heatmaps -> {args.run_dir}/attention_plots")
+
+
+if __name__ == "__main__":
+    _main()

@@ -107,3 +107,32 @@ def unsupervised_vq_disentanglement(
             json.dump(code_words_out, f)
 
     return sorted(seen_codes), histograms, code_words_out
+
+
+def _main():
+    import argparse
+
+    from kindergarten_vq_vae_tpu.analyses.common import load_run
+    from kindergarten_vq_vae_tpu.train.run import load_data
+
+    p = argparse.ArgumentParser(description="unsupervised VQ disentanglement (ref analyses/unsupervised_vq_disentanglement)")
+    p.add_argument("run_dir")
+    p.add_argument("--results-dir", default=None)
+    p.add_argument("--lim-batches-pct", type=float, default=0.1)
+    p.add_argument("--batch-size", type=int, default=512)
+    args = p.parse_args()
+
+    cfg, model, params = load_run(args.run_dir)
+    splits, tokenizer = load_data(cfg)
+    results_dir = args.results_dir or f"{args.run_dir}/unsupervised_vq_disentanglement"
+    codes, histograms, code_words = unsupervised_vq_disentanglement(
+        cfg, model, params, splits, tokenizer,
+        results_dir=results_dir, lim_batches_pct=args.lim_batches_pct,
+        batch_size=args.batch_size,
+    )
+    print(f"populated codes: {codes}")
+    print(f"results -> {results_dir}")
+
+
+if __name__ == "__main__":
+    _main()

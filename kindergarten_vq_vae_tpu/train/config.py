@@ -141,6 +141,9 @@ class RunConfig:
     wandb_silent: str = "true"
     wandb_watch_model: bool = False
     wandb_log_code: bool = False
+    # jax.profiler trace of the first training epoch (SURVEY §5.1: the
+    # reference has no tracing; empty = off)
+    profile_dir: str = ""
     # parallelism (TPU-native; the reference has none, SURVEY §5.8)
     mesh_shape: tuple = ()        # e.g. (8,) dp or (4, 2) dp x tp
     mesh_axis_names: tuple = ()   # e.g. ("dp",) or ("dp", "tp")

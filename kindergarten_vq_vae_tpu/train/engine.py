@@ -334,7 +334,13 @@ class Engine:
             iters["train"].set_epoch(epoch)
             decode = (epoch % cfg.n_epochs_to_decode_after) == 0
 
-            stats_train, _ = self._run_stage("train", iters["train"], None, epoch, decode)
+            if cfg.profile_dir and epoch == 1:
+                from kindergarten_vq_vae_tpu.utils.profiling import trace
+
+                with trace(cfg.profile_dir):
+                    stats_train, _ = self._run_stage("train", iters["train"], None, epoch, decode)
+            else:
+                stats_train, _ = self._run_stage("train", iters["train"], None, epoch, decode)
             flags_train = self._update_best(best_train, stats_train)
             self._log_epoch(epoch, "train", stats_train, flags_train, wandb_run, console_print)
             self._checkpoint(flags_train, "train")

@@ -118,6 +118,15 @@ def init_wandb(cfg: RunConfig, run_conf: dict):
         return None
 
 
+def maybe_log_code(cfg: RunConfig, wandb_run):
+    """wandb code snapshot opt-in (ref models/bagon/main.py:119-120)."""
+    if wandb_run is not None and cfg.wandb_log_code:
+        try:
+            wandb_run.log_code(".")
+        except Exception:
+            pass
+
+
 def run_training(cfg: RunConfig, console_print: bool = True):
     """The full reference main() contract. Returns the Engine."""
     splits, tokenizer = load_data(cfg)
@@ -139,6 +148,7 @@ def run_training(cfg: RunConfig, console_print: bool = True):
     })
 
     wandb_run = init_wandb(cfg, run_conf)
+    maybe_log_code(cfg, wandb_run)
     engine.fit(wandb_run=wandb_run, console_print=console_print)
     engine.test(wandb_run=wandb_run, console_print=console_print)
     engine.dump_decoded_sentences()

@@ -117,3 +117,35 @@ def test_shelgon2_override_hooks(splits):
     labels2 = np.asarray(out2["gen_factors_labels"])
     assert (labels2[:, 6] == 0).all()
     np.testing.assert_array_equal(labels[:, :6], labels2[:, :6])
+
+
+def test_cli_overrides():
+    import importlib.util, os, sys
+
+    spec = importlib.util.spec_from_file_location(
+        "cli", os.path.join(os.path.dirname(__file__), "..", "models", "_cli.py")
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+
+    cfg = RunConfig()
+    cfg2 = cli._apply_overrides(cfg, ["vq_n_e=17", "lr=0.005", "model_mode=vq-ft"])
+    assert cfg2.model.vq_n_e == 17
+    assert cfg2.optim.lr == 0.005
+    assert cfg2.model.model_mode == "vq-ft"
+    with pytest.raises(KeyError):
+        cli._apply_overrides(cfg, ["not_a_key=1"])
+
+
+def test_profiler_trace_epoch(splits, tmp_path):
+    flat = _tiny_cfg("bagon").get_config()
+    flat["profile_dir"] = str(tmp_path / "trace")
+    cfg = RunConfig.from_flat_dict(flat)
+    eng = Engine(cfg, splits)
+    eng.fit(console_print=False)
+    import os
+
+    files = []
+    for root, _, names in os.walk(flat["profile_dir"]):
+        files.extend(names)
+    assert files, "no profiler trace written"
