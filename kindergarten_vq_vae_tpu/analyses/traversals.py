@@ -17,6 +17,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def filter_by_factor(decoded_df, factor_name: str, factor_value: str, acc_threshold: float = 0.999):
+    """Max-accuracy sentences with a given explicit factor value — the input
+    selection of the traversal scripts (ref latent_traversals_...py:99-118
+    re-encodes max-acc sentences filtered by factor)."""
+    df = decoded_df[decoded_df.sentence_acc > acc_threshold]
+    return df[df[factor_name] == factor_value].reset_index(drop=True)
+
+
 def latent_traversals_shelgon(
     model,
     params,

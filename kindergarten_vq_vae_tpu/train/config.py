@@ -35,6 +35,9 @@ class DataConfig:
     tokenizer_add_special_tokens: bool = True
     tokenized_sentence_max_length: int = 12
     generate_if_missing: bool = True  # synthesize the corpus when artifacts absent
+    # memory-map the packed arrays on load (avoids a full-file read upfront;
+    # the seed-69 split still materializes its selection)
+    mmap: bool = False
     # reference-schema compat (SURVEY §2.8). Tokenizer names select the
     # tokenizer kind when their files are present locally; num_workers /
     # pin_memory are torch DataLoader knobs that have no equivalent in the

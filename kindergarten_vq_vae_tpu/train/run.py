@@ -41,10 +41,13 @@ def load_data(cfg: RunConfig):
         prepare_all(d.data_dir, max_length=d.tokenized_sentence_max_length,
                     add_special_tokens=d.tokenizer_add_special_tokens)
 
-    input_ids = np.load(os.path.join(d.data_dir, d.input_ids_file))
-    attention_mask = np.load(os.path.join(d.data_dir, d.attention_mask_file))
-    labels = np.load(os.path.join(d.data_dir, d.labels_file))
-    one_hot = np.load(os.path.join(d.data_dir, d.one_hot_file))
+    # memory-mapped reads: corpora larger than RAM stream from disk; the
+    # batch iterator's fancy indexing copies only the touched rows
+    mmap = "r" if d.mmap else None
+    input_ids = np.load(os.path.join(d.data_dir, d.input_ids_file), mmap_mode=mmap)
+    attention_mask = np.load(os.path.join(d.data_dir, d.attention_mask_file), mmap_mode=mmap)
+    labels = np.load(os.path.join(d.data_dir, d.labels_file), mmap_mode=mmap)
+    one_hot = np.load(os.path.join(d.data_dir, d.one_hot_file), mmap_mode=mmap)
     sentences = [
         s.decode() if isinstance(s, bytes) else str(s)
         for s in np.load(os.path.join(d.data_dir, d.sentences_file))
