@@ -69,9 +69,11 @@ def bench_tpu_train() -> float:
         "n_valid": jnp.int32(BATCH),
     }
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, batch, step):
-        key = jax.random.fold_in(jax.random.key(1), step)
+        key = jax.random.fold_in(jax.random.key(1, impl="rbg"), step)
         k1, k2, k3 = jax.random.split(key, 3)
         rngs = {"dropout": k1, "gumbel": k2, "perturb": k3}
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rngs, False)

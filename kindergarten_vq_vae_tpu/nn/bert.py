@@ -52,6 +52,7 @@ class BertConfig:
     add_cross_attention: bool = False
     add_pooler: bool = True
     tie_word_embeddings: bool = True
+    gelu_exact: bool = True  # erf GELU (HF parity); False = tanh approx (faster)
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
@@ -92,7 +93,7 @@ class BertEmbeddings(nn.Module):
             cfg.type_vocab_size, cfg.hidden_size, embedding_init=_dense_init(cfg), name="token_type_embeddings"
         )(token_type_ids)
         x = word + pos + tok_type
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x)
         x = nn.Dropout(cfg.hidden_dropout)(x, deterministic=deterministic)
         return x.astype(cfg.dtype)
 
@@ -138,7 +139,7 @@ class BertSelfAttention(nn.Module):
         ctx = ctx.reshape(x.shape[0], seq_len, h)
         out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x + out)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x + out)
         return x.astype(cfg.dtype), probs
 
 
@@ -168,7 +169,7 @@ class BertCrossAttention(nn.Module):
         ctx = ctx.reshape(x.shape[0], x.shape[1], h)
         out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x + out)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x + out)
         return x.astype(cfg.dtype), probs
 
 
@@ -179,10 +180,10 @@ class BertMlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.cfg
         y = nn.Dense(cfg.intermediate_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="intermediate")(x)
-        y = nn.gelu(y, approximate=False)
+        y = nn.gelu(y, approximate=not cfg.gelu_exact)
         y = nn.Dense(cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="output")(y)
         y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="layer_norm")(x + y)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x + y)
         return x.astype(cfg.dtype)
 
 
@@ -265,7 +266,7 @@ class BertMLMHead(nn.Module):
         cfg = self.cfg
         x = nn.Dense(cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="transform_dense")(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="transform_layer_norm")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="transform_layer_norm")(x)
         if cfg.tie_word_embeddings:
             assert word_embedding_table is not None
             kernel = word_embedding_table.T.astype(cfg.dtype)

@@ -80,7 +80,7 @@ class GPT2Block(nn.Module):
         seq = x.shape[1]
 
         # --- causal self-attention
-        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_1")(x)
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * h, kernel_init=_init(cfg), dtype=cfg.dtype, name="c_attn")(y)
         q, k, v = (_split_heads(t, nh, hd) for t in jnp.split(qkv, 3, axis=-1))
         causal = jnp.tril(jnp.ones((seq, seq), bool))
@@ -97,7 +97,7 @@ class GPT2Block(nn.Module):
 
         # --- cross-attention (HF GPT2Attention is_cross_attention path)
         if cfg.add_cross_attention and encoder_hidden_states is not None:
-            y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_cross_attn")(x)
+            y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ln_cross_attn")(x)
             q = nn.Dense(h, kernel_init=_init(cfg), dtype=cfg.dtype, name="q_attn")(y)
             kv = nn.Dense(2 * h, kernel_init=_init(cfg), dtype=cfg.dtype, name="crossattention_c_attn")(
                 encoder_hidden_states.astype(cfg.dtype)
@@ -115,7 +115,7 @@ class GPT2Block(nn.Module):
             x = x + ctx
 
         # --- MLP
-        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_2")(x)
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ln_2")(x)
         y = nn.Dense(cfg.intermediate_size, kernel_init=_init(cfg), dtype=cfg.dtype, name="c_fc")(y)
         y = nn.gelu(y, approximate=True)  # HF gelu_new
         y = nn.Dense(h, kernel_init=_init(cfg), dtype=cfg.dtype, name="mlp_c_proj")(y)
@@ -150,7 +150,7 @@ class GPT2LMHeadModel(nn.Module):
             if output_attentions:
                 cross_attns.append(cp)
 
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_f")(x)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ln_f")(x)
 
         if cfg.tie_word_embeddings:
             kernel = wte.embedding.T.astype(cfg.dtype)

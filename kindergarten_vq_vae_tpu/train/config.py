@@ -68,6 +68,7 @@ class ModelConfig:
     hidden_dropout: float = 0.1
     attention_dropout: float = 0.1
     tie_word_embeddings: bool = True
+    gelu_exact: bool = True  # erf GELU (HF parity); False = tanh approx (~15% faster step)
     remat: bool = False  # jax.checkpoint per transformer layer
     compute_dtype: str = "bfloat16"  # MXU-native; 'float32' for parity checks
     # shelgon (latent-class bottleneck)
@@ -129,6 +130,10 @@ class RunConfig:
     runs_dir: str = "./runs"
     export_checkpoint: bool = True
     seed: int = 0
+    # PRNG implementation for in-step randomness (dropout/gumbel/perturb).
+    # 'rbg' generates bits much faster on TPU (~12% step speedup at bert-base
+    # batch 1024); 'threefry' is jax's default splittable PRNG.
+    rng_impl: str = "rbg"
     # input perturbation (ref {ENCODER,DECODER}_PERTURB_{...}_PCT)
     encoder_perturb_train_pct: float = 0.0
     encoder_perturb_val_pct: float = 0.0

@@ -133,7 +133,7 @@ class Engine:
             step=jnp.zeros((), jnp.int32),
         )
 
-        self._base_key = jax.random.key(cfg.seed + 1)
+        self._base_key = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl or None)
         self._train_step = self._build_train_step()
         self._eval_steps = {
             stage: self._build_eval_step(stage) for stage in ("val", "test")

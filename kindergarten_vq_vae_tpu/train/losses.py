@@ -18,13 +18,59 @@ import jax
 import jax.numpy as jnp
 
 
-def kl_recon_loss(logits: jnp.ndarray, target_ids: jnp.ndarray, valid_row: jnp.ndarray) -> jnp.ndarray:
-    """(B, S, V) logits vs (B, S) int targets -> scalar mean-NLL."""
+def kl_recon_loss_reference(logits, target_ids, valid_row):
+    """Naive formulation (correctness oracle for the fused loss below)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, target_ids[..., None], axis=-1)[..., 0]  # (B, S)
     w = valid_row.astype(jnp.float32)[:, None]
     denom = jnp.maximum(jnp.sum(w), 1.0) * nll.shape[1]
     return jnp.sum(nll * w) / denom
+
+
+@jax.custom_vjp
+def kl_recon_loss(logits: jnp.ndarray, target_ids: jnp.ndarray, valid_row: jnp.ndarray) -> jnp.ndarray:
+    """(B, S, V) logits vs (B, S) int targets -> scalar mean-NLL.
+
+    HBM-traffic-engineered custom VJP. The naive autodiff of
+    log_softmax + take_along_axis materializes a dozen (B*S, V) f32
+    intermediates (iota/compare/select from the gather's transpose, full
+    log-probs, softmax recompute) — ~90 GB/step at bert-base batch 1024,
+    which made the whole train step bandwidth-bound. Here the forward is
+    max + logsumexp + gather (three reads of logits) and the backward emits
+    ``softmax - one_hot`` in a single fused expression (one read, one write).
+    """
+    loss, _ = _ce_fwd(logits, target_ids, valid_row)
+    return loss
+
+
+def _ce_stats(logits, target_ids):
+    x = logits.astype(jnp.float32)
+    m = jnp.max(x, axis=-1)
+    lse = m + jnp.log(jnp.sum(jnp.exp(x - m[..., None]), axis=-1))  # (B, S)
+    tl = jnp.take_along_axis(logits, target_ids[..., None], axis=-1)[..., 0].astype(jnp.float32)
+    return lse, tl
+
+
+def _ce_fwd(logits, target_ids, valid_row):
+    lse, tl = _ce_stats(logits, target_ids)
+    w = valid_row.astype(jnp.float32)[:, None]
+    denom = jnp.maximum(jnp.sum(w), 1.0) * logits.shape[1]
+    loss = jnp.sum((lse - tl) * w) / denom
+    return loss, (logits, target_ids, lse, w, denom)
+
+
+def _ce_bwd(res, g):
+    logits, target_ids, lse, w, denom = res
+    # softmax - one_hot, fused: probs from stored lse (no extra reduction)
+    p = jnp.exp(logits.astype(jnp.float32) - lse[..., None])
+    vocab_iota = jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1)
+    grad = p - (vocab_iota == target_ids[..., None]).astype(jnp.float32)
+    scale = (g / denom) * w[..., None]
+    g_logits = (grad * scale).astype(logits.dtype)
+    return g_logits, None, None
+
+
+kl_recon_loss.defvjp(_ce_fwd, _ce_bwd)
 
 
 def kl_onehot_loss(logits: jnp.ndarray, one_hot_target: jnp.ndarray, valid_row: jnp.ndarray) -> jnp.ndarray:

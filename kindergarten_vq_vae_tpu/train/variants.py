@@ -49,6 +49,7 @@ def bert_configs(cfg: RunConfig):
         hidden_dropout=m.hidden_dropout,
         attention_dropout=m.attention_dropout,
         tie_word_embeddings=m.tie_word_embeddings,
+        gelu_exact=m.gelu_exact,
         remat=m.remat,
         dtype=_DTYPES[m.compute_dtype],
     )
