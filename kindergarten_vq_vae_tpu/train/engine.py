@@ -262,13 +262,15 @@ class Engine:
             if "grad_norm" in aux:
                 run.setdefault("grad_norm", jnp.zeros((), jnp.float32))
                 run["grad_norm"] = run["grad_norm"] + aux["grad_norm"]
-        elapsed = time.perf_counter() - t0
         stats = {}
         for k in stat_keys:
             denom = n_steps if k == "padding_tokens_pct" else max(n_els, 1)
             stats[k] = float(run[k]) / denom
         if "grad_norm" in run:
             stats["grad_norm"] = float(run["grad_norm"]) / max(n_steps, 1)
+        # clock stops only after the stats above are materialized on the host,
+        # so the throughput includes the device draining every queued step
+        elapsed = time.perf_counter() - t0
         stats["sentences_per_sec"] = n_els / max(elapsed, 1e-9)
         stats["n_els"] = n_els
         return stats, params
