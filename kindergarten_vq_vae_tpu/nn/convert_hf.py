@@ -149,3 +149,70 @@ def init_encoder_decoder(
             jnp.asarray, convert_decoder_state_dict(decoder_state_dict, dec_cfg, dec_params)
         )
     return enc_params, dec_params
+
+
+def _t(x):
+    import numpy as np
+
+    return np.asarray(x).T
+
+
+def export_decoder_state_dict(params: dict, cfg: BertConfig) -> dict:
+    """Inverse converter: Flax BertLMHeadModel params -> HF torch-style
+    state_dict (numpy values). Lets weights trained here load into the
+    reference's PyTorch stack (checkpoint-ecosystem bridge)."""
+    import numpy as np
+
+    trunk = params["bert"]
+    sd: dict = {}
+    emb = trunk["embeddings"]
+    sd["bert.embeddings.word_embeddings.weight"] = np.asarray(emb["word_embeddings"]["embedding"])
+    sd["bert.embeddings.position_embeddings.weight"] = np.asarray(emb["position_embeddings"])
+    sd["bert.embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type_embeddings"]["embedding"])
+    sd["bert.embeddings.LayerNorm.weight"] = np.asarray(emb["layer_norm"]["scale"])
+    sd["bert.embeddings.LayerNorm.bias"] = np.asarray(emb["layer_norm"]["bias"])
+    for i in range(cfg.num_layers):
+        lp = f"bert.encoder.layer.{i}"
+        layer = trunk[f"layer_{i}"]
+        qkv_k = np.asarray(layer["self_attn"]["qkv"]["kernel"])
+        qkv_b = np.asarray(layer["self_attn"]["qkv"]["bias"])
+        h = cfg.hidden_size
+        for name, sl in (("query", slice(0, h)), ("key", slice(h, 2 * h)), ("value", slice(2 * h, 3 * h))):
+            sd[f"{lp}.attention.self.{name}.weight"] = qkv_k[:, sl].T
+            sd[f"{lp}.attention.self.{name}.bias"] = qkv_b[sl]
+        sd[f"{lp}.attention.output.dense.weight"] = _t(layer["self_attn"]["out"]["kernel"])
+        sd[f"{lp}.attention.output.dense.bias"] = np.asarray(layer["self_attn"]["out"]["bias"])
+        sd[f"{lp}.attention.output.LayerNorm.weight"] = np.asarray(layer["self_attn"]["layer_norm"]["scale"])
+        sd[f"{lp}.attention.output.LayerNorm.bias"] = np.asarray(layer["self_attn"]["layer_norm"]["bias"])
+        if "cross_attn" in layer:
+            ca = layer["cross_attn"]
+            kv_k = np.asarray(ca["kv"]["kernel"])
+            kv_b = np.asarray(ca["kv"]["bias"])
+            sd[f"{lp}.crossattention.self.query.weight"] = _t(ca["q"]["kernel"])
+            sd[f"{lp}.crossattention.self.query.bias"] = np.asarray(ca["q"]["bias"])
+            sd[f"{lp}.crossattention.self.key.weight"] = kv_k[:, :h].T
+            sd[f"{lp}.crossattention.self.key.bias"] = kv_b[:h]
+            sd[f"{lp}.crossattention.self.value.weight"] = kv_k[:, h:].T
+            sd[f"{lp}.crossattention.self.value.bias"] = kv_b[h:]
+            sd[f"{lp}.crossattention.output.dense.weight"] = _t(ca["out"]["kernel"])
+            sd[f"{lp}.crossattention.output.dense.bias"] = np.asarray(ca["out"]["bias"])
+            sd[f"{lp}.crossattention.output.LayerNorm.weight"] = np.asarray(ca["layer_norm"]["scale"])
+            sd[f"{lp}.crossattention.output.LayerNorm.bias"] = np.asarray(ca["layer_norm"]["bias"])
+        sd[f"{lp}.intermediate.dense.weight"] = _t(layer["mlp"]["intermediate"]["kernel"])
+        sd[f"{lp}.intermediate.dense.bias"] = np.asarray(layer["mlp"]["intermediate"]["bias"])
+        sd[f"{lp}.output.dense.weight"] = _t(layer["mlp"]["output"]["kernel"])
+        sd[f"{lp}.output.dense.bias"] = np.asarray(layer["mlp"]["output"]["bias"])
+        sd[f"{lp}.output.LayerNorm.weight"] = np.asarray(layer["mlp"]["layer_norm"]["scale"])
+        sd[f"{lp}.output.LayerNorm.bias"] = np.asarray(layer["mlp"]["layer_norm"]["bias"])
+    head = params["mlm_head"]
+    sd["cls.predictions.transform.dense.weight"] = _t(head["transform_dense"]["kernel"])
+    sd["cls.predictions.transform.dense.bias"] = np.asarray(head["transform_dense"]["bias"])
+    sd["cls.predictions.transform.LayerNorm.weight"] = np.asarray(head["transform_layer_norm"]["scale"])
+    sd["cls.predictions.transform.LayerNorm.bias"] = np.asarray(head["transform_layer_norm"]["bias"])
+    sd["cls.predictions.bias"] = np.asarray(head["decoder_bias"])
+    sd["cls.predictions.decoder.bias"] = np.asarray(head["decoder_bias"])
+    if cfg.tie_word_embeddings:
+        sd["cls.predictions.decoder.weight"] = sd["bert.embeddings.word_embeddings.weight"]
+    else:
+        sd["cls.predictions.decoder.weight"] = _t(head["decoder_kernel"])
+    return sd

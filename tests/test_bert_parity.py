@@ -187,3 +187,36 @@ def test_tied_head_shares_embedding_table():
         {"params": dec_params2}, ids, mask, encoder_hidden_states=enc_h
     )["logits"]
     assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+def test_export_roundtrip_to_hf():
+    """Flax -> HF state_dict -> HF torch forward matches the Flax forward."""
+    import dataclasses
+
+    from kindergarten_vq_vae_tpu.nn.convert_hf import export_decoder_state_dict
+
+    ours, hf_cfg = _tiny_cfgs()
+    dec_cfg = dataclasses.replace(ours, is_decoder=True, add_cross_attention=True, add_pooler=False)
+    key = jax.random.key(11)
+    _, dec_params = init_encoder_decoder(key, ours, dec_cfg, seq_len=8)
+
+    sd = export_decoder_state_dict(dec_params, dec_cfg)
+    hf_cfg.is_decoder = True
+    hf_cfg.add_cross_attention = True
+    hf = transformers.BertLMHeadModel(hf_cfg)
+    missing, unexpected = hf.load_state_dict(
+        {k: torch.as_tensor(np.ascontiguousarray(v)) for k, v in sd.items()}, strict=False
+    )
+    assert not unexpected, unexpected
+
+    ids, mask = _rand_batch(ours.vocab_size, b=2, s=8, seed=9)
+    enc_h = np.random.default_rng(5).normal(size=(2, 8, ours.hidden_size)).astype(np.float32)
+    hf.eval()
+    with torch.no_grad():
+        ref = hf(torch.as_tensor(ids), attention_mask=torch.as_tensor(mask),
+                 encoder_hidden_states=torch.as_tensor(enc_h))
+    out = BertLMHeadModel(dec_cfg).apply(
+        {"params": dec_params}, jnp.asarray(ids), jnp.asarray(mask),
+        encoder_hidden_states=jnp.asarray(enc_h),
+    )
+    np.testing.assert_allclose(np.asarray(out["logits"]), ref.logits.numpy(), rtol=3e-4, atol=3e-5)
