@@ -149,3 +149,35 @@ def test_profiler_trace_epoch(splits, tmp_path):
     for root, _, names in os.walk(flat["profile_dir"]):
         files.extend(names)
     assert files, "no profiler trace written"
+
+
+def test_cli_end_to_end_subprocess(tmp_path):
+    """The public entrypoint contract: `python models/bagon/main.py` with
+    overrides runs a full tiny train+test on a fresh machine (CPU)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.join(os.path.dirname(__file__), "..")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in the subprocess
+    cmd = [
+        sys.executable, os.path.join(repo, "models", "bagon", "main.py"),
+        "--set", "vocab_size=128", "--set", "hidden_size=32",
+        "--set", "num_layers=2", "--set", "num_heads=2",
+        "--set", "intermediate_size=64", "--set", "compute_dtype='float32'",
+        "--set", "batch_size=32", "--set", "n_epochs=1",
+        "--set", "n_epochs_to_decode_after=5",
+        "--set", "lim_batches_train_pct=0.02", "--set", "lim_batches_val_pct=0.05",
+        "--set", "lim_batches_test_pct=0.05",
+        "--set", f"data_dir='{tmp_path}/data'",
+        "--set", f"runs_dir='{tmp_path}/runs'",
+    ]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=420, cwd=repo, env=env)
+    assert out.returncode == 0, out.stderr[-2000:]
+    runs = os.listdir(tmp_path / "runs")
+    assert len(runs) == 1
+    run_dir = tmp_path / "runs" / runs[0]
+    assert (run_dir / "run_conf.json").exists()
+    assert any(p.startswith("bagon_ckpt_") for p in os.listdir(run_dir))
