@@ -180,7 +180,9 @@ class BertMlp(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.cfg
         y = nn.Dense(cfg.intermediate_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="intermediate")(x)
-        y = nn.gelu(y, approximate=not cfg.gelu_exact)
+        # gelu upcasts to f32 internally; cast back so the saved residual (and
+        # therefore fc2's backward matmuls) stay in the bf16 MXU path
+        y = nn.gelu(y, approximate=not cfg.gelu_exact).astype(cfg.dtype)
         y = nn.Dense(cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="output")(y)
         y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x + y)
@@ -265,7 +267,7 @@ class BertMLMHead(nn.Module):
     def __call__(self, x, word_embedding_table=None):
         cfg = self.cfg
         x = nn.Dense(cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="transform_dense")(x)
-        x = nn.gelu(x, approximate=False)
+        x = nn.gelu(x, approximate=not cfg.gelu_exact).astype(cfg.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="transform_layer_norm")(x)
         if cfg.tie_word_embeddings:
             assert word_embedding_table is not None

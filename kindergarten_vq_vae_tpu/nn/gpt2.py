@@ -117,7 +117,7 @@ class GPT2Block(nn.Module):
         # --- MLP
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="ln_2")(x)
         y = nn.Dense(cfg.intermediate_size, kernel_init=_init(cfg), dtype=cfg.dtype, name="c_fc")(y)
-        y = nn.gelu(y, approximate=True)  # HF gelu_new
+        y = nn.gelu(y, approximate=True).astype(cfg.dtype)  # HF gelu_new; keep bf16 residuals
         y = nn.Dense(h, kernel_init=_init(cfg), dtype=cfg.dtype, name="mlp_c_proj")(y)
         y = nn.Dropout(cfg.hidden_dropout)(y, deterministic=deterministic)
         x = x + y
