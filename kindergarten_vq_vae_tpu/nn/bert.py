@@ -23,7 +23,7 @@ embeddings, causal self-attention in decoder mode, tied MLM head decoder.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

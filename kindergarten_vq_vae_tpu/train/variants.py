@@ -13,7 +13,6 @@ dumps. Scalar keys mirror the reference's wandb names per variant
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Callable
 
 import jax
