@@ -94,6 +94,7 @@ class ModelConfig:
     vq_kl_div_scale: float = 5e-4
     vq_straight_through: bool = False
     vq_use_fused: bool = True            # fused Pallas kernel vs jnp oracle
+    fused_ce: bool = True                # fused Pallas cross-entropy (flash-style)
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     from_pretrained_bagon: Optional[str] = None

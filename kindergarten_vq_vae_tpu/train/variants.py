@@ -22,6 +22,7 @@ import numpy as np
 from kindergarten_vq_vae_tpu.models import Bagon, Shelgon, Shelgon2, Shelgon3
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig
 from kindergarten_vq_vae_tpu.train.config import RunConfig
+from kindergarten_vq_vae_tpu.ops.ce_pallas import fused_ce_loss
 from kindergarten_vq_vae_tpu.train.losses import kl_onehot_loss, kl_recon_loss
 from kindergarten_vq_vae_tpu.utils.metrics import padding_tokens_pct, seq_acc
 from kindergarten_vq_vae_tpu.utils.tensor import (
@@ -157,6 +158,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
     o = cfg.optim
     vocab = cfg.model.vocab_size
     dec_vocab = cfg.model.decoder_vocab_size or vocab
+    recon_loss = fused_ce_loss if cfg.model.fused_ce else kl_recon_loss
     enc_pct = getattr(cfg, f"encoder_perturb_{stage}_pct")
     dec_pct = getattr(cfg, f"decoder_perturb_{stage}_pct")
     is_training = stage == "train"
@@ -177,7 +179,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
             deterministic=deterministic,
             rngs={k: v for k, v in rngs.items() if k != "perturb"},
         )
-        loss_recon = kl_recon_loss(out["logits"], dec_ids, valid)
+        loss_recon = recon_loss(out["logits"], dec_ids, valid)
         recon_ids = jnp.argmax(out["logits"], axis=-1)
         acc, acc_per_sentence = seq_acc(recon_ids, dec_ids)
         aux = {
@@ -214,7 +216,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
         # NOTE parity: the reference's recon target is the *unperturbed*
         # decoder ids in shelgon (Trainer.py:117-121 uses input_ids_decoder,
         # not the perturbed copy)
-        loss_recon = kl_recon_loss(out["logits"], dec_src, valid)
+        loss_recon = recon_loss(out["logits"], dec_src, valid)
         loss_pred = kl_onehot_loss(out["pred_latent_logits"], batch["one_hot"], valid)
         loss_full = loss_recon + loss_pred
         recon_ids = jnp.argmax(out["logits"], axis=-1)
@@ -243,7 +245,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
             deterministic=deterministic,
             rngs=rngs,
         )
-        loss_recon = kl_recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_recon = recon_loss(out["logits"], batch["input_ids"], valid)
         # latent logits come out (B, 3, F); the reference permutes to (B, F, 3)
         # before the loss (shelgon2/Trainer.py:95)
         latent_logits = jnp.transpose(out["gen_factors_logits"], (0, 2, 1))
@@ -278,7 +280,7 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
             is_training=is_training,
             rngs=rngs,
         )
-        loss_recon = kl_recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_recon = recon_loss(out["logits"], batch["input_ids"], valid)
         loss_recon = loss_recon * o.loss_recon_rescale_factor * o.loss_recon_weight
         loss_vq = out["vq_loss"] * o.loss_vq_rescale_factor * o.loss_vq_weight
         loss_full = loss_recon + loss_vq

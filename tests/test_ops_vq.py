@@ -228,3 +228,22 @@ def test_gumbel_quantize_matches_torch():
 
     np.testing.assert_allclose(np.asarray(logits_j), logits_t.detach().numpy(), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(float(diff_j), diff_t.item(), rtol=1e-4)
+
+
+def test_fused_ce_loss_matches_reference():
+    from kindergarten_vq_vae_tpu.ops.ce_pallas import fused_ce_loss
+    from kindergarten_vq_vae_tpu.train.losses import kl_recon_loss_reference
+
+    rng = np.random.default_rng(0)
+    B, S, V = 5, 7, 333  # vocab not a multiple of the tile
+    logits = jnp.asarray(rng.normal(size=(B, S, V)), jnp.float32)
+    targets = jnp.asarray(rng.integers(0, V, (B, S)))
+    valid = jnp.asarray([1, 1, 1, 0, 0], jnp.float32)
+
+    l1 = fused_ce_loss(logits, targets, valid, 8, 128)
+    l2 = kl_recon_loss_reference(logits, targets, valid)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+
+    g1 = jax.grad(lambda lg: fused_ce_loss(lg, targets, valid, 8, 128))(logits)
+    g2 = jax.grad(lambda lg: kl_recon_loss_reference(lg, targets, valid))(logits)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-7)
