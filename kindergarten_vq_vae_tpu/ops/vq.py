@@ -144,3 +144,33 @@ def kmeans_codebook_init(
         return jnp.where(counts[:, None] > 0, new_cent, cent)
 
     return jax.lax.fori_loop(0, n_iters, body, centroids)
+
+
+def dead_code_reset(
+    codebook: jnp.ndarray,
+    dead_steps: jnp.ndarray,
+    counts: jnp.ndarray,
+    z_rows: jnp.ndarray,
+    key: jax.Array,
+    threshold: int = 100,
+    noise_scale: float = 1e-3,
+):
+    """Dead-codebook revival (not in the reference; standard VQ-VAE practice
+    addressing the index collapse measured in RESULTS.md).
+
+    ``dead_steps`` (n_e,) counts consecutive steps with zero assignments;
+    codes past ``threshold`` are re-seeded to random encoder outputs
+    (``z_rows``: (m, D) candidates from the current batch) plus small noise.
+    Returns (new_codebook, new_dead_steps).
+    """
+    n_e = codebook.shape[0]
+    dead_steps = jnp.where(counts > 0, 0, dead_steps + 1)
+    expired = dead_steps >= threshold
+
+    key_pick, key_noise = jax.random.split(key)
+    pick = jax.random.randint(key_pick, (n_e,), 0, z_rows.shape[0])
+    replacements = z_rows[pick] + noise_scale * jax.random.normal(key_noise, codebook.shape, codebook.dtype)
+
+    new_codebook = jnp.where(expired[:, None], replacements.astype(codebook.dtype), codebook)
+    new_dead_steps = jnp.where(expired, 0, dead_steps)
+    return new_codebook, new_dead_steps

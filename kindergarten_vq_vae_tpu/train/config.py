@@ -97,6 +97,11 @@ class ModelConfig:
     fused_ce: bool = True                # fused Pallas cross-entropy (flash-style)
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
+    # dead-code revival (new capability; counters the index collapse a
+    # randomly initialized codebook exhibits — RESULTS.md): codes unused for
+    # vq_dead_code_threshold consecutive steps are re-seeded from live
+    # encoder outputs. 0 disables.
+    vq_dead_code_threshold: int = 0
     from_pretrained_bagon: Optional[str] = None
     # pretrained warm start (local HF torch checkpoint path; optional)
     hf_encoder_checkpoint: Optional[str] = None

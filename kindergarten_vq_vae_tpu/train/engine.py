@@ -56,6 +56,7 @@ class TrainState(NamedTuple):
     opt_state: Any
     ema: Optional[EMAState]
     step: jnp.ndarray
+    dead_steps: Optional[jnp.ndarray] = None  # (n_e,) dead-code counters
 
 
 def _prefetch(iterator, put_fn, depth: int = 2):
@@ -126,11 +127,17 @@ class Engine:
         ema = None
         if cfg.model.model_name == "shelgon3" and cfg.model.vq_ema_update:
             ema = init_ema_state(self.params["vector_quantizer"]["codebook"])
+        dead_steps = None
+        if (cfg.model.model_name == "shelgon3"
+                and cfg.model.vq_mode == "VectorQuantizer"
+                and cfg.model.vq_dead_code_threshold > 0):
+            dead_steps = jnp.zeros((cfg.model.vq_n_e,), jnp.int32)
         self.state = TrainState(
             params=self.params,
             opt_state=self.tx.init(self.params),
             ema=ema,
             step=jnp.zeros((), jnp.int32),
+            dead_steps=dead_steps,
         )
 
         self._base_key = jax.random.key(cfg.seed + 1, impl=cfg.rng_impl or None)
@@ -153,6 +160,8 @@ class Engine:
         use_ema = self.cfg.model.model_name == "shelgon3" and self.cfg.model.vq_ema_update
         decay = self.cfg.model.vq_ema_decay
 
+        dead_threshold = self.cfg.model.vq_dead_code_threshold
+
         def step(state: TrainState, batch, key):
             rngs = self._rngs(key)
             (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -174,7 +183,20 @@ class Engine:
                 vq = dict(params["vector_quantizer"])
                 vq["codebook"] = new_cb
                 params["vector_quantizer"] = vq
-            new_state = TrainState(params, opt_state, ema, state.step + 1)
+            dead_steps = state.dead_steps
+            if dead_steps is not None:
+                from kindergarten_vq_vae_tpu.ops.vq import dead_code_reset
+
+                cb, dead_steps = dead_code_reset(
+                    params["vector_quantizer"]["codebook"], dead_steps,
+                    aux["ema_counts"], aux["z_rows"],
+                    jax.random.fold_in(key, 7), threshold=dead_threshold,
+                )
+                params = dict(params)
+                vq = dict(params["vector_quantizer"])
+                vq["codebook"] = cb
+                params["vector_quantizer"] = vq
+            new_state = TrainState(params, opt_state, ema, state.step + 1, dead_steps)
             return new_state, aux
 
         return jax.jit(step, donate_argnums=(0,))
@@ -308,6 +330,8 @@ class Engine:
         if self.state.ema is not None:
             tree["ema_counts"] = self.state.ema.counts
             tree["ema_means"] = self.state.ema.means
+        if self.state.dead_steps is not None:
+            tree["dead_steps"] = self.state.dead_steps
         save_train_state(path, tree)
 
     def restore_state(self, path: str) -> None:
@@ -318,12 +342,15 @@ class Engine:
         if self.state.ema is not None:
             template["ema_counts"] = self.state.ema.counts
             template["ema_means"] = self.state.ema.means
+        if self.state.dead_steps is not None:
+            template["dead_steps"] = self.state.dead_steps
         tree = restore_train_state(path, template)
         ema = self.state.ema
         if ema is not None:
             ema = EMAState(counts=tree["ema_counts"], means=tree["ema_means"])
         self.state = TrainState(
-            params=tree["params"], opt_state=tree["opt_state"], ema=ema, step=tree["step"]
+            params=tree["params"], opt_state=tree["opt_state"], ema=ema,
+            step=tree["step"], dead_steps=tree.get("dead_steps"),
         )
 
     def fit(self, wandb_run=None, console_print: bool = True):

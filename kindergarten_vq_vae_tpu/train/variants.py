@@ -301,6 +301,13 @@ def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
         if out["ema_stats"] is not None:
             aux["ema_counts"] = out["ema_stats"]["counts"]
             aux["ema_sum_z"] = out["ema_stats"]["sum_z"]
+        if cfg.model.vq_dead_code_threshold > 0 and cfg.model.vq_mode == "VectorQuantizer":
+            # candidate re-seed rows for dead-code revival (first 4*n_e
+            # encoder outputs of the batch, detached)
+            m = 4 * cfg.model.vq_n_e
+            aux["z_rows"] = jax.lax.stop_gradient(
+                out["encoder_last_hidden_state"].reshape(-1, cfg.model.vq_e_dim)[:m]
+            )
         return loss_full, aux
 
     return {

@@ -226,3 +226,33 @@ def test_run_config_roundtrip(tmp_path):
     flat = loaded.get_config()
     for key in ("encoder_model_name", "tokenized_sentence_max_length", "vq_n_e", "lr"):
         assert key in flat
+
+
+def test_dead_code_reset_op():
+    from kindergarten_vq_vae_tpu.ops.vq import dead_code_reset
+
+    codebook = jnp.asarray(np.full((4, 8), 100.0), jnp.float32)  # far from data
+    dead = jnp.asarray([0, 98, 99, 0], jnp.int32)
+    counts = jnp.asarray([5.0, 0.0, 0.0, 1.0])
+    z_rows = jnp.asarray(np.random.default_rng(0).normal(size=(16, 8)), jnp.float32)
+    new_cb, new_dead = dead_code_reset(codebook, dead, counts, z_rows, jax.random.key(0), threshold=100)
+    # code 2 hit the threshold (99+1=100) -> reset near data; code 1 not yet
+    assert not np.allclose(np.asarray(new_cb[2]), 100.0)
+    assert np.abs(np.asarray(new_cb[2])).max() < 50
+    np.testing.assert_array_equal(np.asarray(new_cb[0]), np.asarray(codebook[0]))
+    np.testing.assert_array_equal(np.asarray(new_cb[1]), np.asarray(codebook[1]))
+    assert int(new_dead[2]) == 0 and int(new_dead[1]) == 99
+    # used codes reset their counter
+    assert int(new_dead[0]) == 0 and int(new_dead[3]) == 0
+
+
+def test_dead_code_reset_in_engine(tiny_splits):
+    cfg = _tiny_cfg("shelgon3", vq_n_e=4, vq_dead_code_threshold=1)
+    eng = Engine(cfg, tiny_splits)
+    assert eng.state.dead_steps is not None
+    cb_before = np.asarray(eng.state.params["vector_quantizer"]["codebook"])
+    eng.fit(console_print=False)
+    assert eng.state.dead_steps is not None
+    cb_after = np.asarray(eng.state.params["vector_quantizer"]["codebook"])
+    assert np.isfinite(cb_after).all()
+    assert not np.allclose(cb_before, cb_after)
