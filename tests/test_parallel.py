@@ -137,3 +137,54 @@ def test_fused_vq_sharded_matches_oracle():
     gzr, ger = jax.grad(Lr, argnums=(0, 1))(jnp.asarray(z), jnp.asarray(e))
     np.testing.assert_allclose(np.asarray(gz), np.asarray(gzr), atol=1e-5)
     np.testing.assert_allclose(np.asarray(ge), np.asarray(ger), atol=1e-5)
+
+
+def test_graft_dryrun_driver_env_subprocess():
+    """Regression for the round-1 MULTICHIP failure: run dryrun_multichip in a
+    fresh interpreter WITHOUT conftest's platform pin, simulating the driver
+    environment where sitecustomize pins jax_platforms="axon,cpu". The entry
+    point must self-force the 8-device virtual CPU backend."""
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ)
+    # strip the pins conftest set for THIS process; sitecustomize (if present
+    # on PYTHONPATH) still runs in the child, exactly like the driver env
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r}); "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert res.returncode == 0, f"stderr tail:\n{res.stderr[-2000:]}"
+    assert "OK" in res.stdout
+
+
+def test_graft_dryrun_initialized_backend_reexec():
+    """If the calling process already initialized a too-small backend, the
+    entry point must detect it and re-exec instead of raising."""
+    import subprocess
+    import sys
+
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    # initialize a 1-device CPU backend BEFORE calling dryrun_multichip(8)
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r}); "
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1; "
+        "import __graft_entry__ as g; g.dryrun_multichip(8)"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, f"stderr tail:\n{res.stderr[-2000:]}"
+    assert "OK" in res.stdout
