@@ -28,7 +28,10 @@ from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertMod
 from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config, GPT2LMHeadModel
 from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_quantize, unique_count_perplexity
 from kindergarten_vq_vae_tpu.ops.vq import vector_quantize
-from kindergarten_vq_vae_tpu.ops.vq_pallas import fused_vector_quantize
+from kindergarten_vq_vae_tpu.ops.vq_pallas import (
+    fused_vector_quantize,
+    fused_vector_quantize_sharded,
+)
 
 
 class VectorQuantizerModule(nn.Module):
@@ -38,6 +41,11 @@ class VectorQuantizerModule(nn.Module):
     use_fused: bool = True
     ema_update: bool = False
     init_values: Optional[jnp.ndarray] = None
+    # when a mesh with a dp axis is given, the fused kernel runs per-shard
+    # via shard_map instead of letting GSPMD replicate it behind an
+    # all-gather of z (NEXT.md #5)
+    mesh: Optional[object] = None
+    dp_axis: str = "dp"
 
     @nn.compact
     def __call__(self, z):
@@ -50,6 +58,14 @@ class VectorQuantizerModule(nn.Module):
         if self.ema_update:
             # codebook is trained by EMA statistics, not by gradient
             codebook = jax.lax.stop_gradient(codebook)
+        if (
+            self.use_fused
+            and self.mesh is not None
+            and self.dp_axis in getattr(self.mesh, "axis_names", ())
+        ):
+            return fused_vector_quantize_sharded(
+                z, codebook, self.beta, self.mesh, self.dp_axis
+            )
         quantize = fused_vector_quantize if self.use_fused else vector_quantize
         return quantize(z, codebook, self.beta)
 
@@ -95,6 +111,8 @@ class Shelgon3(nn.Module):
     vq_use_fused: bool = True
     vq_ema_update: bool = False
     vq_init_values: Optional[jnp.ndarray] = None
+    vq_mesh: Optional[object] = None
+    vq_dp_axis: str = "dp"
 
     @nn.compact
     def __call__(
@@ -121,6 +139,8 @@ class Shelgon3(nn.Module):
                 use_fused=self.vq_use_fused,
                 ema_update=self.vq_ema_update,
                 init_values=self.vq_init_values,
+                mesh=self.vq_mesh,
+                dp_axis=self.vq_dp_axis,
                 name="vector_quantizer",
             )(embeds)
             z_q = vq.z_q

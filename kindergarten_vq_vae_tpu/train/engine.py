@@ -155,7 +155,7 @@ class Engine:
         return {"dropout": k1, "gumbel": k2, "perturb": k3}
 
     def _build_train_step(self):
-        loss_fn = make_loss_fn(self.cfg, "train")
+        loss_fn = make_loss_fn(self.cfg, "train", mesh=self.mesh)
         tx = self.tx
         use_ema = self.cfg.model.model_name == "shelgon3" and self.cfg.model.vq_ema_update
         decay = self.cfg.model.vq_ema_decay
@@ -202,7 +202,7 @@ class Engine:
         return jax.jit(step, donate_argnums=(0,))
 
     def _build_eval_step(self, stage: str):
-        loss_fn = make_loss_fn(self.cfg, stage)
+        loss_fn = make_loss_fn(self.cfg, stage, mesh=self.mesh)
 
         def step(params, batch, key):
             rngs = self._rngs(key)

@@ -85,7 +85,7 @@ def _load_codebook_init(cfg: RunConfig):
     return jnp.asarray(data)
 
 
-def build_model(cfg: RunConfig, stage: str = "train"):
+def build_model(cfg: RunConfig, stage: str = "train", mesh=None):
     enc, dec = bert_configs(cfg)
     m = cfg.model
     name = m.model_name
@@ -128,6 +128,7 @@ def build_model(cfg: RunConfig, stage: str = "train"):
             vq_use_fused=m.vq_use_fused,
             vq_ema_update=m.vq_ema_update,
             vq_init_values=_load_codebook_init(cfg),
+            vq_mesh=mesh,
         )
     raise ValueError(f"unknown model_name {name}")
 
@@ -151,9 +152,12 @@ def _valid_row(batch) -> jnp.ndarray:
     return (jnp.arange(b) < batch["n_valid"]).astype(jnp.float32)
 
 
-def make_loss_fn(cfg: RunConfig, stage: str) -> Callable:
-    """Build the pure loss fn for a stage ('train'|'val'|'test')."""
-    model = build_model(cfg, stage)
+def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
+    """Build the pure loss fn for a stage ('train'|'val'|'test').
+
+    When ``mesh`` (with a "dp" axis) is given, the fused VQ kernel runs
+    per-shard via shard_map inside the model (NEXT.md #5)."""
+    model = build_model(cfg, stage, mesh=mesh)
     name = cfg.model.model_name
     o = cfg.optim
     vocab = cfg.model.vocab_size

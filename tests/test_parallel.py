@@ -188,3 +188,67 @@ def test_graft_dryrun_initialized_backend_reexec():
     )
     assert res.returncode == 0, f"stderr tail:\n{res.stderr[-2000:]}"
     assert "OK" in res.stdout
+
+
+def test_fused_vq_engine_wired_per_shard():
+    """NEXT.md #5 / VERDICT #3: with a mesh passed to make_loss_fn, the fused
+    VQ kernel must run per-shard inside a shard_map (so GSPMD cannot insert
+    an all-gather of z in front of it), and the mesh loss must match the
+    single-device oracle loss."""
+    from kindergarten_vq_vae_tpu.train.variants import make_loss_fn as mk
+
+    import dataclasses
+
+    cfg = _cfg()
+    cfg = dataclasses.replace(cfg, model=dataclasses.replace(cfg.model, vq_use_fused=True))
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    params = init_params(cfg, jax.random.key(0))
+    loss_fn = mk(cfg, "train", mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "input_ids": rng.integers(1, 256, (8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+        "n_valid": np.int32(8),
+    }
+    rngs = {"dropout": jax.random.key(1), "gumbel": jax.random.key(2), "perturb": jax.random.key(3)}
+
+    # --- structural: z reaches the pallas kernel pre-sharded over dp ---
+    jaxpr = jax.make_jaxpr(lambda p, b: loss_fn(p, b, rngs, True))(
+        params, {k: jnp.asarray(v) for k, v in batch_np.items()}
+    )
+
+    def find_shard_maps(jx, acc):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "shard_map":
+                acc.append(eqn)
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    find_shard_maps(v.jaxpr, acc)
+        return acc
+
+    smaps = find_shard_maps(jaxpr.jaxpr, [])
+    assert smaps, "no shard_map in the mesh train loss — fused VQ not wired per-shard"
+    # the VQ shard_map consumes z (8,12,64) split over dp=4 -> (2,12,64)
+    vq_maps = [
+        e for e in smaps
+        if any(tuple(getattr(v.aval, "shape", ())) == (2, 12, 64) for v in e.params["jaxpr"].invars)
+    ]
+    assert vq_maps, "shard_map found but not over the per-dp-shard z (2,12,64)"
+    inner = vq_maps[0].params["jaxpr"]
+    names = {eq.primitive.name for eq in inner.eqns}
+    assert "pallas_call" in names or "custom_vjp_call_jaxpr" in names or any(
+        "pallas" in n or "custom" in n for n in names
+    ), f"per-shard body has no pallas/custom-vjp call: {names}"
+
+    # --- numeric: mesh loss == single-device oracle loss ---
+    cfg_oracle = _cfg()
+    oracle_fn = mk(cfg_oracle, "train")
+    loss_single, _ = jax.jit(lambda p, b: oracle_fn(p, b, rngs, True))(
+        params, {k: jnp.asarray(v) for k, v in batch_np.items()}
+    )
+    params_sh = shard_params(mesh, params)
+    batch_sh = shard_batch(mesh, batch_np)
+    with mesh:
+        loss_mesh, _ = jax.jit(lambda p, b: loss_fn(p, b, rngs, True))(params_sh, batch_sh)
+    np.testing.assert_allclose(float(loss_single), float(loss_mesh), rtol=1e-5)
