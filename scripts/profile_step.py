@@ -30,11 +30,10 @@ def time_chained(fn, state, n_steps, reps=2):
     best = None
     for _ in range(reps):
         t0 = time.perf_counter()
-        s = state
         for _ in range(n_steps):
-            s = fn(s)
+            state = fn(state)  # donated buffers: never reuse an old state
         # materialize a scalar from the chain's last value (tunnel-safe sync)
-        leaves = jax.tree_util.tree_leaves(s)
+        leaves = jax.tree_util.tree_leaves(state)
         float(jnp.sum(leaves[-1].astype(jnp.float32).ravel()[:1]))
         dt = (time.perf_counter() - t0) / n_steps * 1e3
         best = dt if best is None else min(best, dt)
@@ -58,7 +57,6 @@ def main():
     )
     params = init_params(cfg, jax.random.key(0))
     tx = make_optimizer(cfg.optim)
-    opt_state = tx.init(params)
     loss_fn = make_loss_fn(cfg, "train")
     model = build_model(cfg)
 
@@ -69,6 +67,13 @@ def main():
         "n_valid": jnp.int32(B),
     }
 
+    def grad_touch(grads):
+        # anti-DCE: consume one element of EVERY grad leaf (global_norm holds
+        # all grads live simultaneously and OOMs at batch 1024)
+        return sum(
+            g.ravel()[0].astype(jnp.float32) for g in jax.tree_util.tree_leaves(grads)
+        )
+
     def rngs_for(i):
         key = jax.random.fold_in(jax.random.key(1, impl="rbg"), i)
         k1, k2, k3 = jax.random.split(key, 3)
@@ -76,27 +81,13 @@ def main():
 
     results = {}
 
-    # ---- A: full train step (bench parity)
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def step_full(st):
-        params, opt_state, i = st
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch, rngs_for(i), False
-        )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, i + 1
-
-    results["A_full_step"] = time_chained(step_full, (params, opt_state, jnp.int32(0)), args.steps)
-    print(f"A full step:            {results['A_full_step']:8.2f} ms", flush=True)
-
     # ---- B: fwd+bwd, no optimizer (carry global grad norm to defeat DCE)
     @functools.partial(jax.jit, donate_argnums=(1,))
     def step_fwdbwd(params, acc, i):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rngs_for(i), False
         )
-        return acc + loss + optax.global_norm(grads), i + 1
+        return acc + loss + grad_touch(grads), i + 1
 
     def wrap_b(st):
         acc, i = st
@@ -129,7 +120,7 @@ def main():
     @functools.partial(jax.jit, donate_argnums=(1,))
     def step_d(params, acc, i):
         loss, grads = jax.value_and_grad(loss_mean_logits)(params, i)
-        return acc + loss + optax.global_norm(grads), i + 1
+        return acc + loss + grad_touch(grads), i + 1
 
     def wrap_d(st):
         acc, i = st
@@ -150,7 +141,7 @@ def main():
     @functools.partial(jax.jit, donate_argnums=(1,))
     def step_e(params, acc, i):
         loss, grads = jax.value_and_grad(loss_enc_only)(params, i)
-        return acc + loss + optax.global_norm(grads), i + 1
+        return acc + loss + grad_touch(grads), i + 1
 
     def wrap_e(st):
         acc, i = st
@@ -165,7 +156,7 @@ def main():
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rngs_for(i), True
         )
-        return acc + loss + optax.global_norm(grads), i + 1
+        return acc + loss + grad_touch(grads), i + 1
 
     def wrap_f(st):
         acc, i = st
@@ -173,6 +164,22 @@ def main():
 
     results["F_no_dropout"] = time_chained(wrap_f, (jnp.float32(0), jnp.int32(0)), args.steps)
     print(f"F fwd+bwd no dropout:   {results['F_no_dropout']:8.2f} ms", flush=True)
+
+    # ---- A: full train step (bench parity); opt_state allocated only now
+    opt_state = tx.init(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step_full(st):
+        params, opt_state, i = st
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rngs_for(i), False
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, i + 1
+
+    results["A_full_step"] = time_chained(step_full, (params, opt_state, jnp.int32(0)), args.steps)
+    print(f"A full step:            {results['A_full_step']:8.2f} ms", flush=True)
 
     print("\n--- attribution (ms) ---")
     print(f"optimizer update:  {results['A_full_step'] - results['B_fwd_bwd']:8.2f}")
