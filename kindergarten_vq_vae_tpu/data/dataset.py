@@ -24,6 +24,34 @@ import numpy as np
 from kindergarten_vq_vae_tpu.utils.consts import DS_GEN_SEED
 
 
+class _LazyRows:
+    """Row-indirected view of a column: composes an index array over a base
+    array (often an np.memmap) so splits never materialize their selection.
+    ``col[idx]`` reads only the touched rows from disk; ``np.asarray(col)``
+    materializes explicitly."""
+
+    def __init__(self, base, idx: np.ndarray):
+        self.base, self.idx = base, idx
+
+    def __len__(self) -> int:
+        return len(self.idx)
+
+    @property
+    def shape(self):
+        return (len(self.idx),) + tuple(np.shape(self.base)[1:])
+
+    @property
+    def dtype(self):
+        return self.base.dtype
+
+    def __getitem__(self, key):
+        return self.base[self.idx[key]]
+
+    def __array__(self, dtype=None, copy=None):
+        out = self.base[self.idx]
+        return np.asarray(out, dtype=dtype)
+
+
 @dataclass
 class DSentences:
     """Column store for the tokenized corpus.
@@ -60,16 +88,31 @@ class DSentences:
     def __len__(self) -> int:
         return len(self.input_ids)
 
-    def select(self, idx: np.ndarray) -> "DSentences":
+    def select(self, idx: np.ndarray, lazy: bool | None = None) -> "DSentences":
+        """Row subset. ``lazy=None`` auto-detects: memory-mapped (or already
+        lazy) columns keep index indirection end-to-end (corpora >> RAM never
+        materialize, NEXT.md #6); in-RAM columns copy as before."""
+        if lazy is None:
+            lazy = isinstance(self.input_ids, (np.memmap, _LazyRows))
+
+        def sel(col):
+            if col is None:
+                return None
+            if lazy and isinstance(col, _LazyRows):
+                return _LazyRows(col.base, col.idx[idx])
+            if lazy and isinstance(col, np.ndarray):
+                return _LazyRows(col, np.asarray(idx))
+            return col[idx]
+
         return DSentences(
-            input_ids=self.input_ids[idx],
-            attention_mask=self.attention_mask[idx],
-            dec_input_ids=None if self.dec_input_ids is None else self.dec_input_ids[idx],
-            dec_attention_mask=None if self.dec_attention_mask is None else self.dec_attention_mask[idx],
-            labels=None if self.labels is None else self.labels[idx],
-            one_hot=None if self.one_hot is None else self.one_hot[idx],
-            labels8=None if self.labels8 is None else self.labels8[idx],
-            one_hot8=None if self.one_hot8 is None else self.one_hot8[idx],
+            input_ids=sel(self.input_ids),
+            attention_mask=sel(self.attention_mask),
+            dec_input_ids=sel(self.dec_input_ids),
+            dec_attention_mask=sel(self.dec_attention_mask),
+            labels=sel(self.labels),
+            one_hot=sel(self.one_hot),
+            labels8=sel(self.labels8),
+            one_hot8=sel(self.one_hot8),
             sentences=None
             if self.sentences is None
             else [self.sentences[i] for i in idx],

@@ -211,6 +211,71 @@ class BPETokenizer:
                 merges.append((a, b))
         return cls(vocab, merges)
 
+    @classmethod
+    def train(cls, texts: list[str], vocab_size: int = 512,
+              eos_token: str = "<|endoftext|>") -> "BPETokenizer":
+        """Learn byte-level BPE merges from a corpus (hermetic GPT-2 decoder
+        configs need no shipped vocab files — ref models/bagon/main.py:69-73
+        downloads the GPT-2 tokenizer from the hub instead).
+
+        Standard BPE: start from the 256 byte-unicode symbols, repeatedly
+        merge the most frequent adjacent pair (frequency-weighted over unique
+        pretokenized words; GPT-2's leading-space marker included)."""
+        from collections import Counter
+
+        byte_encoder = _bytes_to_unicode()
+        base = [byte_encoder[b] for b in range(256)]
+        vocab = {t: i for i, t in enumerate(base)}
+
+        # pretokenize: word frequencies, with the non-initial leading space
+        words: Counter = Counter()
+        for text in texts:
+            for i, w in enumerate(str(text).strip().split()):
+                chunk = (" " + w) if i > 0 else w
+                words["".join(byte_encoder[b] for b in chunk.encode("utf-8"))] += 1
+
+        splits = {w: list(w) for w in words}
+        merges: list[tuple[str, str]] = []
+        target_merges = max(0, vocab_size - len(vocab) - 1)  # -1 for eos
+        for _ in range(target_merges):
+            pair_counts: Counter = Counter()
+            for w, freq in words.items():
+                sym = splits[w]
+                for j in range(len(sym) - 1):
+                    pair_counts[(sym[j], sym[j + 1])] += freq
+            if not pair_counts:
+                break
+            # deterministic tie-break: count desc, then lexicographic
+            best = max(pair_counts.items(), key=lambda kv: (kv[1], kv[0]))[0]
+            if pair_counts[best] < 2:
+                break
+            merges.append(best)
+            vocab[best[0] + best[1]] = len(vocab)
+            a, b = best
+            for w in words:
+                sym = splits[w]
+                j, merged = 0, []
+                while j < len(sym):
+                    if j < len(sym) - 1 and sym[j] == a and sym[j + 1] == b:
+                        merged.append(a + b)
+                        j += 2
+                    else:
+                        merged.append(sym[j])
+                        j += 1
+                splits[w] = merged
+        vocab[eos_token] = len(vocab)
+        return cls(vocab, merges, eos_token=eos_token)
+
+    def save(self, vocab_json_path: str, merges_path: str) -> None:
+        import json as _json
+
+        with open(vocab_json_path, "w") as f:
+            _json.dump(self.vocab, f)
+        with open(merges_path, "w") as f:
+            f.write("#version: 0.2\n")
+            for a, b in sorted(self.bpe_ranks, key=self.bpe_ranks.get):
+                f.write(f"{a} {b}\n")
+
     @property
     def vocab_size(self) -> int:
         return len(self.vocab)

@@ -54,6 +54,11 @@ class BertConfig:
     tie_word_embeddings: bool = True
     gelu_exact: bool = True  # erf GELU (HF parity); False = tanh approx (faster)
     remat: bool = False  # jax.checkpoint each layer: trade FLOPs for HBM
+    # fused block-diagonal SDPA Pallas kernel (ops/sdpa_pallas.py) for self-
+    # and cross-attention, fwd AND bwd — the tiny-seq layout fix. Falls back
+    # to the einsum path when attention probabilities are requested.
+    fused_sdpa: bool = False
+    sdpa_block_b: int = 64  # sentences per kernel tile
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property
@@ -112,31 +117,53 @@ def _attention_probs(q, k, bias, dtype):
     return jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(dtype)
 
 
+def _sdpa_seed(module: nn.Module, deterministic: bool, rate: float):
+    """Per-layer per-step int32 seed for in-kernel hash dropout (flax folds
+    the module path into make_rng, so each layer draws a distinct seed)."""
+    if deterministic or rate == 0.0:
+        return jnp.zeros((1,), jnp.int32), 0.0
+    key = module.make_rng("dropout")
+    seed = jax.random.randint(
+        key, (1,), jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max, dtype=jnp.int32
+    )
+    return seed, rate
+
+
 class BertSelfAttention(nn.Module):
     """Self-attention with fused QKV; causal when cfg.is_decoder."""
 
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, x, attention_mask, deterministic: bool = True):
+    def __call__(self, x, attention_mask, deterministic: bool = True, output_attentions: bool = False):
         cfg = self.cfg
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
         qkv = nn.Dense(3 * h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q, k, v = (_split_heads(t, nh, hd) for t in (q, k, v))
 
-        seq_len = x.shape[1]
-        bias = jnp.zeros((1, 1, seq_len, seq_len), cfg.dtype)
-        if attention_mask is not None:
-            bias = bias + (1.0 - attention_mask[:, None, None, :].astype(cfg.dtype)) * NEG_INF
-        if cfg.is_decoder:
-            causal = jnp.tril(jnp.ones((seq_len, seq_len), bool))
-            bias = bias + jnp.where(causal, 0.0, NEG_INF)[None, None, :, :].astype(cfg.dtype)
+        if cfg.fused_sdpa and not output_attentions:
+            from kindergarten_vq_vae_tpu.ops.sdpa_pallas import fused_sdpa
 
-        probs = _attention_probs(q, k, bias, cfg.dtype)
-        dropped = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", dropped, v)
-        ctx = ctx.reshape(x.shape[0], seq_len, h)
+            seed, rate = _sdpa_seed(self, deterministic, cfg.attention_dropout)
+            ctx = fused_sdpa(
+                q, k, v, attention_mask, seed, nh,
+                causal=cfg.is_decoder, rate=rate, block_b=cfg.sdpa_block_b,
+            )
+            probs = None
+        else:
+            q, k, v = (_split_heads(t, nh, hd) for t in (q, k, v))
+            seq_len = x.shape[1]
+            bias = jnp.zeros((1, 1, seq_len, seq_len), cfg.dtype)
+            if attention_mask is not None:
+                bias = bias + (1.0 - attention_mask[:, None, None, :].astype(cfg.dtype)) * NEG_INF
+            if cfg.is_decoder:
+                causal = jnp.tril(jnp.ones((seq_len, seq_len), bool))
+                bias = bias + jnp.where(causal, 0.0, NEG_INF)[None, None, :, :].astype(cfg.dtype)
+
+            probs = _attention_probs(q, k, bias, cfg.dtype)
+            dropped = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", dropped, v)
+            ctx = ctx.reshape(x.shape[0], x.shape[1], h)
         out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x + out)
@@ -149,24 +176,35 @@ class BertCrossAttention(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, x, kv_states, encoder_attention_mask=None, deterministic: bool = True):
+    def __call__(self, x, kv_states, encoder_attention_mask=None, deterministic: bool = True, output_attentions: bool = False):
         cfg = self.cfg
         h, nh, hd = cfg.hidden_size, cfg.num_heads, cfg.head_dim
         q = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="q")(x)
         kv = nn.Dense(2 * h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="kv")(kv_states.astype(cfg.dtype))
         k, v = jnp.split(kv, 2, axis=-1)
-        q, k, v = (_split_heads(t, nh, hd) for t in (q, k, v))
 
-        bias = None
-        if encoder_attention_mask is not None:
-            # the reference never passes one (Bagon.py:50-53) — cross-attn
-            # attends to every encoder position by default; kept optional.
-            bias = (1.0 - encoder_attention_mask[:, None, None, :].astype(cfg.dtype)) * NEG_INF
+        if cfg.fused_sdpa and not output_attentions:
+            from kindergarten_vq_vae_tpu.ops.sdpa_pallas import fused_sdpa
 
-        probs = _attention_probs(q, k, bias, cfg.dtype)
-        dropped = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", dropped, v)
-        ctx = ctx.reshape(x.shape[0], x.shape[1], h)
+            seed, rate = _sdpa_seed(self, deterministic, cfg.attention_dropout)
+            ctx = fused_sdpa(
+                q, k, v, encoder_attention_mask, seed, nh,
+                causal=False, rate=rate, block_b=cfg.sdpa_block_b,
+            )
+            probs = None
+        else:
+            q, k, v = (_split_heads(t, nh, hd) for t in (q, k, v))
+
+            bias = None
+            if encoder_attention_mask is not None:
+                # the reference never passes one (Bagon.py:50-53) — cross-attn
+                # attends to every encoder position by default; kept optional.
+                bias = (1.0 - encoder_attention_mask[:, None, None, :].astype(cfg.dtype)) * NEG_INF
+
+            probs = _attention_probs(q, k, bias, cfg.dtype)
+            dropped = nn.Dropout(cfg.attention_dropout)(probs, deterministic=deterministic)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", dropped, v)
+            ctx = ctx.reshape(x.shape[0], x.shape[1], h)
         out = nn.Dense(h, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="out")(ctx)
         out = nn.Dropout(cfg.hidden_dropout)(out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="layer_norm")(x + out)
@@ -200,13 +238,16 @@ class BertLayer(nn.Module):
         encoder_hidden_states=None,
         encoder_attention_mask=None,
         deterministic: bool = True,
+        output_attentions: bool = False,
     ):
         cfg = self.cfg
-        x, self_probs = BertSelfAttention(cfg, name="self_attn")(x, attention_mask, deterministic)
+        x, self_probs = BertSelfAttention(cfg, name="self_attn")(
+            x, attention_mask, deterministic, output_attentions
+        )
         cross_probs = None
         if cfg.add_cross_attention and encoder_hidden_states is not None:
             x, cross_probs = BertCrossAttention(cfg, name="cross_attn")(
-                x, encoder_hidden_states, encoder_attention_mask, deterministic
+                x, encoder_hidden_states, encoder_attention_mask, deterministic, output_attentions
             )
         x = BertMlp(cfg, name="mlp")(x, deterministic)
         return x, self_probs, cross_probs
@@ -236,10 +277,11 @@ class BertModel(nn.Module):
         layer_cls = BertLayer
         if cfg.remat and not output_attentions:
             # rematerialize activations in backward (HBM-for-FLOPs trade)
-            layer_cls = nn.remat(BertLayer, static_argnums=(5,))
+            layer_cls = nn.remat(BertLayer, static_argnums=(5, 6))
         for i in range(cfg.num_layers):
             x, sp, cp = layer_cls(cfg, name=f"layer_{i}")(
-                x, attention_mask, encoder_hidden_states, encoder_attention_mask, deterministic
+                x, attention_mask, encoder_hidden_states, encoder_attention_mask,
+                deterministic, output_attentions,
             )
             if output_attentions:
                 self_attns.append(sp)

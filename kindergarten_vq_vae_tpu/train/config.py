@@ -95,6 +95,11 @@ class ModelConfig:
     vq_straight_through: bool = False
     vq_use_fused: bool = True            # fused Pallas kernel vs jnp oracle
     fused_ce: bool = True                # fused Pallas cross-entropy (flash-style)
+    # fused block-diagonal SDPA Pallas kernel for all attention (fwd+bwd).
+    # "auto": on for single-device TPU, off on CPU (interpret is slow) and
+    # under a GSPMD mesh (custom calls aren't auto-partitionable).
+    fused_attn: str = "auto"             # "auto" | "on" | "off"
+    sdpa_block_b: int = 64               # sentences per SDPA kernel tile
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     # dead-code revival (new capability; counters the index collapse a

@@ -169,8 +169,16 @@ class Engine:
             )
             if self.cfg.wandb_watch_model:
                 # functional stand-in for wandb.watch(model, log='all')
-                # (models/bagon/main.py:117-118): global gradient norm
+                # (models/bagon/main.py:117-118): global gradient norm plus
+                # per-layer gradient norms (wandb.watch's per-parameter
+                # histograms reduced to their norms — cheap on-device)
                 aux["grad_norm"] = optax.global_norm(grads)
+                from flax import traverse_util
+
+                aux["watch_grads"] = {
+                    ".".join(path): jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
+                    for path, g in traverse_util.flatten_dict(grads).items()
+                }
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema = state.ema
@@ -284,12 +292,20 @@ class Engine:
             if "grad_norm" in aux:
                 run.setdefault("grad_norm", jnp.zeros((), jnp.float32))
                 run["grad_norm"] = run["grad_norm"] + aux["grad_norm"]
+            if "watch_grads" in aux:
+                acc = run.setdefault("watch_grads", {})
+                for k, v in aux["watch_grads"].items():
+                    acc[k] = acc.get(k, jnp.zeros((), jnp.float32)) + v
         stats = {}
         for k in stat_keys:
             denom = n_steps if k == "padding_tokens_pct" else max(n_els, 1)
             stats[k] = float(run[k]) / denom
         if "grad_norm" in run:
             stats["grad_norm"] = float(run["grad_norm"]) / max(n_steps, 1)
+        if "watch_grads" in run:
+            stats["watch_grads"] = {
+                k: float(v) / max(n_steps, 1) for k, v in run["watch_grads"].items()
+            }
         # clock stops only after the stats above are materialized on the host,
         # so the throughput includes the device draining every queued step
         elapsed = time.perf_counter() - t0
@@ -445,6 +461,17 @@ class Engine:
             log = {"epoch": epoch}
             if "grad_norm" in stats:
                 log[f"{stage}/grad_norm"] = stats["grad_norm"]
+            if "watch_grads" in stats:
+                # wandb.watch(log='all') key style: gradients/<dotted path>
+                # and parameters/<dotted path> (norms instead of histograms)
+                for k, v in stats["watch_grads"].items():
+                    log[f"gradients/{k}"] = v
+                from flax import traverse_util
+
+                for path, p_leaf in traverse_util.flatten_dict(self.state.params).items():
+                    log["parameters/" + ".".join(path)] = float(
+                        jnp.sqrt(jnp.sum(jnp.square(p_leaf.astype(jnp.float32))))
+                    )
             for k in STAT_KEYS[self.model_name]:
                 if k == "padding_tokens_pct":
                     log[f"padding_tokens_pct/{stage}"] = stats[k]

@@ -69,9 +69,36 @@ def load_data(cfg: RunConfig):
         input_ids = np.pad(input_ids, ((0, 0), (0, pad)))
         attention_mask = np.pad(attention_mask, ((0, 0), (0, pad)))
 
+    # GPT-2 decoder configs: a second, BPE tokenization of the corpus
+    # (reference dual-tokenizer path, models/bagon/main.py:65-73). Hermetic:
+    # if no vocab/merges files are present, TRAIN byte-level BPE from the
+    # corpus and persist the files next to the other artifacts.
+    dec_input_ids = dec_attention_mask = None
+    if "gpt" in cfg.model.decoder_model_name:
+        from kindergarten_vq_vae_tpu.data.tokenizer import BPETokenizer
+
+        vpath = os.path.join(d.data_dir, "gpt2_vocab.json")
+        mpath = os.path.join(d.data_dir, "gpt2_merges.txt")
+        if os.path.exists(vpath) and os.path.exists(mpath):
+            dec_tok = BPETokenizer.from_files(vpath, mpath)
+        else:
+            target = cfg.model.decoder_vocab_size or 512
+            dec_tok = BPETokenizer.train(sentences, vocab_size=target)
+            dec_tok.save(vpath, mpath)
+        if cfg.model.decoder_vocab_size and dec_tok.vocab_size > cfg.model.decoder_vocab_size:
+            raise ValueError(
+                f"decoder_vocab_size={cfg.model.decoder_vocab_size} < trained "
+                f"BPE vocab {dec_tok.vocab_size}"
+            )
+        dec_input_ids, dec_attention_mask = dec_tok.encode_batch(
+            sentences, max_length=L
+        )
+
     ds = DSentences(
         input_ids=input_ids.astype(np.int32),
         attention_mask=attention_mask.astype(np.int32),
+        dec_input_ids=dec_input_ids,
+        dec_attention_mask=dec_attention_mask,
         labels=labels,
         one_hot=one_hot,
         labels8=labels8,

@@ -33,7 +33,17 @@ from kindergarten_vq_vae_tpu.utils.tensor import (
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 
-def bert_configs(cfg: RunConfig):
+def _resolve_fused_attn(m, mesh) -> bool:
+    if m.fused_attn == "on":
+        return True
+    if m.fused_attn == "off":
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu" and mesh is None
+
+
+def bert_configs(cfg: RunConfig, mesh=None):
     """(encoder BertConfig, decoder BertConfig-or-GPT2Config).
 
     A 'gpt' decoder_model_name selects the GPT-2 decoder, mirroring the
@@ -51,6 +61,8 @@ def bert_configs(cfg: RunConfig):
         tie_word_embeddings=m.tie_word_embeddings,
         gelu_exact=m.gelu_exact,
         remat=m.remat,
+        fused_sdpa=_resolve_fused_attn(m, mesh),
+        sdpa_block_b=m.sdpa_block_b,
         dtype=_DTYPES[m.compute_dtype],
     )
     enc = BertConfig(add_pooler=True, **common)
@@ -86,7 +98,7 @@ def _load_codebook_init(cfg: RunConfig):
 
 
 def build_model(cfg: RunConfig, stage: str = "train", mesh=None):
-    enc, dec = bert_configs(cfg)
+    enc, dec = bert_configs(cfg, mesh=mesh)
     m = cfg.model
     name = m.model_name
     if name == "bagon":

@@ -74,6 +74,30 @@ def test_wandb_key_schema_shelgon3(splits):
     assert "val/loss_recon" in val_log and val_log["epoch"] == 1
 
 
+def test_wandb_watch_per_layer_norms(splits):
+    """wandb.watch(model, log='all') parity (models/bagon/main.py:117-118):
+    per-parameter gradient AND parameter norms under the watch key style
+    gradients/<dotted.path>, parameters/<dotted.path>, plus the global
+    grad_norm."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg("bagon"), wandb_watch_model=True)
+    eng = Engine(cfg, splits)
+    fake = FakeWandb()
+    eng.fit(wandb_run=fake, console_print=False)
+    train_log = fake.logged[0]
+    assert "train/grad_norm" in train_log
+    grad_keys = [k for k in train_log if k.startswith("gradients/")]
+    param_keys = [k for k in train_log if k.startswith("parameters/")]
+    assert len(grad_keys) > 20, f"expected per-layer grad norms, got {grad_keys[:5]}"
+    assert len(param_keys) == len(grad_keys)
+    # a known leaf path exists and both sides carry finite values
+    probe = [k for k in grad_keys if "layer_0" in k and "qkv" in k and k.endswith("kernel")]
+    assert probe, grad_keys[:10]
+    assert np.isfinite(train_log[probe[0]])
+    assert np.isfinite(train_log["parameters/" + probe[0][len("gradients/"):]])
+
+
 def test_from_artifacts_roundtrip(tiny_corpus):
     from kindergarten_vq_vae_tpu.data.prepare import prepare_all
     from kindergarten_vq_vae_tpu.data.generate import generate_dsentences

@@ -130,3 +130,79 @@ def test_dual_tokenizer_batches(tiny_corpus):
     b = next(iter(BatchIterator(ds, 8)))
     assert "dec_input_ids" in b
     np.testing.assert_array_equal(b["dec_input_ids"], b["input_ids"] + 1)
+
+
+def test_bpe_trainer_roundtrip(tiny_corpus, tmp_path):
+    """Learn BPE merges from the corpus (no external vocab files): train ->
+    encode -> decode roundtrip, save/load stability, and compression (merges
+    actually shorten common words)."""
+    texts = [str(s) for s in tiny_corpus["sentences_clean"]]
+    tok = BPETokenizer.train(texts, vocab_size=400)
+    assert tok.vocab_size <= 400
+    assert len(tok.bpe_ranks) > 10, "expected learned merges on a real corpus"
+
+    for s in texts[:50]:
+        ids = tok.encode(s)
+        assert tok.decode(ids) == " ".join(s.strip().split())
+    # merges compress: a common long word uses fewer tokens than its bytes
+    w = max(texts[0].split(), key=len)
+    assert len(tok.encode_word(w)) < len(w)
+
+    vp, mp = str(tmp_path / "v.json"), str(tmp_path / "m.txt")
+    tok.save(vp, mp)
+    tok2 = BPETokenizer.from_files(vp, mp)
+    for s in texts[:10]:
+        assert tok.encode(s) == tok2.encode(s)
+
+
+def test_gpt2_variant_e2e_hermetic(tiny_corpus, tmp_path):
+    """GPT-2 decoder end-to-end WITHOUT external vocab files: load_data trains
+    the BPE tokenizer from the corpus, emits dec_* columns, and one bagon
+    train step over the dual-tokenized batch is finite."""
+    import dataclasses
+    import os
+
+    import jax
+
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+    from kindergarten_vq_vae_tpu.data.prepare import prepare_all
+    from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, OptimConfig, RunConfig
+    from kindergarten_vq_vae_tpu.train.run import load_data
+    from kindergarten_vq_vae_tpu.train.variants import init_params, make_loss_fn
+    from kindergarten_vq_vae_tpu.data.dataset import BatchIterator
+
+    raw = str(tmp_path / "data")
+    os.makedirs(raw, exist_ok=True)
+    generate_dsentences(raw, num_verbs=2, num_objects=2)
+    prepare_all(raw, max_length=12)
+
+    cfg = RunConfig(
+        model=ModelConfig(
+            model_name="bagon", decoder_model_name="gpt2", vocab_size=128,
+            decoder_vocab_size=300, hidden_size=32, num_layers=2, num_heads=2,
+            intermediate_size=64, compute_dtype="float32",
+        ),
+        data=DataConfig(data_dir=raw, batch_size=8, tokenized_sentence_max_length=12),
+        optim=OptimConfig(lr=1e-3),
+    )
+    # vocab_size must cover the word tokenizer's ids
+    import numpy as _np
+
+    ids = _np.load(os.path.join(raw, "dSentences_input_ids.npy"))
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, vocab_size=int(ids.max()) + 1)
+    )
+    splits, tok = load_data(cfg)
+    assert os.path.exists(os.path.join(raw, "gpt2_vocab.json")), "trained BPE must be persisted"
+    tr = splits["train"]
+    assert tr.dec_input_ids is not None and tr.dec_input_ids.shape[1] == 12
+
+    batch = next(iter(BatchIterator(tr, 8)))
+    params = init_params(cfg, jax.random.key(0))
+    loss_fn = make_loss_fn(cfg, "train")
+    rngs = {"dropout": jax.random.key(1), "gumbel": jax.random.key(2), "perturb": jax.random.key(3)}
+    import jax.numpy as jnp
+
+    device_batch = {k: jnp.asarray(v) for k, v in batch.items() if k != "index"}
+    loss, aux = loss_fn(params, device_batch, rngs, True)
+    assert np.isfinite(float(loss))
