@@ -168,6 +168,12 @@ class BatchIterator:
     seed: int = 0
     lim_batches_pct: float = 1.0
     drop_last: bool = False
+    # multi-host data parallelism: every process computes the SAME global
+    # permutation (seeded) and loads only its contiguous slice of each
+    # global batch; parallel.mesh.shard_batch assembles the global array
+    # from the per-process slices. batch_size stays the GLOBAL batch size.
+    process_index: int = 0
+    process_count: int = 1
     _epoch: int = field(default=0, init=False)
 
     def __len__(self) -> int:
@@ -191,6 +197,14 @@ class BatchIterator:
             n_valid = len(idx)
             if n_valid < bs:
                 idx = np.concatenate([idx, np.full(bs - n_valid, idx[0] if n_valid else 0)])
+            if self.process_count > 1:
+                # this process's contiguous shard of the global batch
+                if bs % self.process_count:
+                    raise ValueError(
+                        f"batch_size {bs} must divide process_count {self.process_count}"
+                    )
+                local = bs // self.process_count
+                idx = idx[self.process_index * local : (self.process_index + 1) * local]
             batch = {
                 "input_ids": self.ds.input_ids[idx],
                 "attention_mask": self.ds.attention_mask[idx],

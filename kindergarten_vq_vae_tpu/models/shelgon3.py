@@ -58,13 +58,13 @@ class VectorQuantizerModule(nn.Module):
         if self.ema_update:
             # codebook is trained by EMA statistics, not by gradient
             codebook = jax.lax.stop_gradient(codebook)
-        if (
-            self.use_fused
-            and self.mesh is not None
-            and self.dp_axis in getattr(self.mesh, "axis_names", ())
-        ):
+        axes = tuple(
+            n for n in getattr(self.mesh, "axis_names", ()) if str(n).startswith("dp")
+        )
+        if self.use_fused and self.mesh is not None and axes:
             return fused_vector_quantize_sharded(
-                z, codebook, self.beta, self.mesh, self.dp_axis
+                z, codebook, self.beta, self.mesh,
+                axes if len(axes) > 1 else axes[0],
             )
         quantize = fused_vector_quantize if self.use_fused else vector_quantize
         return quantize(z, codebook, self.beta)

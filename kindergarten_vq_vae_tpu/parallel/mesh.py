@@ -26,8 +26,35 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host (DCN) init. One call per process before any mesh building;
+    afterwards ``jax.devices()`` is the GLOBAL device list and GSPMD lays
+    DP-gradient all-reduces across hosts over DCN while TP stays on-host ICI
+    (make_mesh orders axes so the fastest-varying axis is on-host).
+
+    On managed TPU pods (GKE/QueuedResources) all three arguments can be
+    None — jax.distributed auto-detects from the environment."""
+    import jax.distributed
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(shape=(), axis_names=(), devices=None) -> Mesh | None:
-    """Build a Mesh; shape () -> None (single-device path)."""
+    """Build a Mesh; shape () -> None (single-device path).
+
+    Multi-host: with jax.distributed initialized, ``jax.devices()`` is
+    global; keep the LAST axis (tp) fastest-varying so it maps onto each
+    host's local devices (ICI) and leading axes (dp / dp_host) span hosts
+    (DCN) — the scaling-book layout: data-parallel over DCN, model-parallel
+    over ICI."""
     if not shape:
         return None
     devices = devices if devices is not None else jax.devices()
@@ -86,18 +113,32 @@ def shard_params(mesh: Mesh, params):
     return jax.device_put(params, shardings)
 
 
+def dp_axes(mesh: Mesh) -> tuple:
+    """All data-parallel axes, e.g. ("dp_host", "dp") on a 3-axis DCN mesh."""
+    return tuple(n for n in mesh.axis_names if str(n).startswith("dp"))
+
+
 def batch_spec(mesh: Mesh) -> P:
-    return P("dp") if "dp" in mesh.axis_names else P()
+    axes = dp_axes(mesh)
+    return P(axes) if axes else P()
 
 
 def shard_batch(mesh: Mesh, batch: dict):
-    """Shard batch arrays over dp on the leading axis; scalars replicated."""
+    """Shard batch arrays over dp on the leading axis; scalars replicated.
+
+    Single-process: a plain device_put with a NamedSharding. Multi-host:
+    each process holds only ITS slice of the global batch (see
+    ``BatchIterator(process_index=..., process_count=...)``) and the global
+    array is assembled with make_array_from_process_local_data — no
+    cross-host batch gather ever happens."""
     spec = batch_spec(mesh)
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         arr = np.asarray(v)
-        if arr.ndim == 0:
-            out[k] = jax.device_put(arr, NamedSharding(mesh, P()))
+        sharding = NamedSharding(mesh, P() if arr.ndim == 0 else spec)
+        if multiprocess and arr.ndim > 0:
+            out[k] = jax.make_array_from_process_local_data(sharding, arr)
         else:
-            out[k] = jax.device_put(arr, NamedSharding(mesh, spec))
+            out[k] = jax.device_put(arr, sharding)
     return out
