@@ -71,7 +71,10 @@ def bench_tpu_train() -> float:
 
     import functools
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1),
+                       compiler_options=tpu_compiler_options())
     def train_step(params, opt_state, batch, step):
         key = jax.random.fold_in(jax.random.key(1, impl="rbg"), step)
         k1, k2, k3 = jax.random.split(key, 3)

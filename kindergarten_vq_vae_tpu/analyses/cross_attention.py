@@ -16,6 +16,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def _tpu_jit(fn):
+    # jit with the raised scoped-vmem limit the fused-layer kernels need
+    # (utils/compile.py); no-op off-TPU
+    import jax
+
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    return jax.jit(fn, compiler_options=tpu_compiler_options())
+
+
 def extract_cross_attention(
     model,
     params,
@@ -33,7 +44,7 @@ def extract_cross_attention(
     if model_kind == "auto":
         model_kind = type(model).__name__.lower()
 
-    @jax.jit
+    @_tpu_jit
     def infer(ids, mask):
         kwargs = dict(deterministic=True, output_attentions=True,
                       rngs={"gumbel": jax.random.key(0)})

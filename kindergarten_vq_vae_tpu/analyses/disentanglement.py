@@ -31,6 +31,17 @@ WORDS_OF_INTEREST = (
 )
 
 
+
+def _tpu_jit(fn):
+    # jit with the raised scoped-vmem limit the fused-layer kernels need
+    # (utils/compile.py); no-op off-TPU
+    import jax
+
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    return jax.jit(fn, compiler_options=tpu_compiler_options())
+
+
 def unsupervised_vq_disentanglement(
     cfg,
     model,
@@ -45,7 +56,7 @@ def unsupervised_vq_disentanglement(
     """Returns (populated_codes, words_of_interest_histograms, code->words)."""
     n_e = cfg.model.vq_n_e
 
-    @jax.jit
+    @_tpu_jit
     def infer(input_ids, attention_mask):
         out = model.apply(
             {"params": params}, input_ids, attention_mask,

@@ -12,6 +12,17 @@ import os
 import numpy as np
 
 
+
+def _tpu_jit(fn):
+    # jit with the raised scoped-vmem limit the fused-layer kernels need
+    # (utils/compile.py); no-op off-TPU
+    import jax
+
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    return jax.jit(fn, compiler_options=tpu_compiler_options())
+
+
 def compute_sentence_latents(model, params, input_ids, attention_mask, batch_size: int = 512,
                              out_path: str | None = None):
     """Sentence-level latent representations (encoder pooler output) over a
@@ -24,7 +35,7 @@ def compute_sentence_latents(model, params, input_ids, attention_mask, batch_siz
 
     enc_cfg = model.enc_cfg
 
-    @jax.jit
+    @_tpu_jit
     def encode(ids, mask):
         out = BertModel(enc_cfg).apply(
             {"params": params["encoder"]}, ids, attention_mask=mask, deterministic=True

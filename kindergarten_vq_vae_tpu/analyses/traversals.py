@@ -17,6 +17,17 @@ import jax.numpy as jnp
 import numpy as np
 
 
+
+def _tpu_jit(fn):
+    # jit with the raised scoped-vmem limit the fused-layer kernels need
+    # (utils/compile.py); no-op off-TPU
+    import jax
+
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    return jax.jit(fn, compiler_options=tpu_compiler_options())
+
+
 def filter_by_factor(decoded_df, factor_name: str, factor_value: str, acc_threshold: float = 0.999):
     """Max-accuracy sentences with a given explicit factor value — the input
     selection of the traversal scripts (ref latent_traversals_...py:99-118
@@ -39,7 +50,7 @@ def latent_traversals_shelgon(
     ids = jnp.asarray(input_ids)
     mask = jnp.asarray(attention_mask)
 
-    @jax.jit
+    @_tpu_jit
     def run(override):
         out = model.apply(
             {"params": params}, ids, mask, ids, mask,
@@ -49,7 +60,7 @@ def latent_traversals_shelgon(
         )
         return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
 
-    @jax.jit
+    @_tpu_jit
     def run_plain():
         out = model.apply(
             {"params": params}, ids, mask, ids, mask,

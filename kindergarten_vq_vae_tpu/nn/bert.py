@@ -59,6 +59,13 @@ class BertConfig:
     # to the einsum path when attention probabilities are requested.
     fused_sdpa: bool = False
     sdpa_block_b: int = 64  # sentences per kernel tile
+    # fused whole-layer Pallas kernel (ops/layer_pallas.py): one kernel per
+    # BertLayer keeping every intermediate VMEM-resident, recompute-based
+    # fused backward. Supersedes fused_sdpa when enabled; falls back to the
+    # unfused path when attention probabilities are requested.
+    fused_layer: bool = False
+    layer_block_b_fwd: int = 64  # sentences per fwd tile
+    layer_block_b_bwd: int = 16  # sentences per bwd tile (dW accums in VMEM)
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property
@@ -227,6 +234,93 @@ class BertMlp(nn.Module):
         return x.astype(cfg.dtype)
 
 
+class _DenseParams(nn.Module):
+    """Declares the same params an nn.Dense would (for the fused-layer path,
+    which consumes raw weights but must keep the param tree identical)."""
+
+    fin: int
+    fout: int
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("kernel", _dense_init(self.cfg), (self.fin, self.fout)),
+            self.param("bias", nn.initializers.zeros, (self.fout,)),
+        )
+
+
+class _LayerNormParams(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        return (
+            self.param("scale", nn.initializers.ones, (self.dim,)),
+            self.param("bias", nn.initializers.zeros, (self.dim,)),
+        )
+
+
+class _SelfAttnParams(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        h = self.cfg.hidden_size
+        return (
+            *_DenseParams(h, 3 * h, self.cfg, name="qkv")(),
+            *_DenseParams(h, h, self.cfg, name="out")(),
+            *_LayerNormParams(h, name="layer_norm")(),
+        )
+
+
+class _CrossAttnParams(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        h = self.cfg.hidden_size
+        return (
+            *_DenseParams(h, h, self.cfg, name="q")(),
+            *_DenseParams(h, 2 * h, self.cfg, name="kv")(),
+            *_DenseParams(h, h, self.cfg, name="out")(),
+            *_LayerNormParams(h, name="layer_norm")(),
+        )
+
+
+class _MlpParams(nn.Module):
+    cfg: BertConfig
+
+    @nn.compact
+    def __call__(self):
+        h, f = self.cfg.hidden_size, self.cfg.intermediate_size
+        return (
+            *_DenseParams(h, f, self.cfg, name="intermediate")(),
+            *_DenseParams(f, h, self.cfg, name="output")(),
+            *_LayerNormParams(h, name="layer_norm")(),
+        )
+
+
+class _LayerParams(nn.Module):
+    """Declares one BertLayer's full param set (identical tree to the unfused
+    modules) and returns the flat weight tuple in ops.layer_pallas order."""
+
+    cfg: BertConfig
+    use_cross: bool  # include cross-attn weights in the returned tuple
+
+    @nn.compact
+    def __call__(self):
+        cfg = self.cfg
+        sa = _SelfAttnParams(cfg, name="self_attn")()
+        cross = ()
+        if cfg.add_cross_attention:
+            # params must exist whenever the unfused path would create them
+            declared = _CrossAttnParams(cfg, name="cross_attn")()
+            if self.use_cross:
+                cross = declared
+        return sa + cross + _MlpParams(cfg, name="mlp")()
+
+
 class BertLayer(nn.Module):
     cfg: BertConfig
 
@@ -253,6 +347,67 @@ class BertLayer(nn.Module):
         return x, self_probs, cross_probs
 
 
+def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
+                 encoder_hidden_states, encoder_attention_mask,
+                 deterministic: bool):
+    """All transformer layers as ONE lax.scan over stacked per-layer weights,
+    each scan step a fused whole-layer Pallas kernel (ops/layer_pallas.py).
+
+    Per-layer params keep the exact unfused tree (layer_i/self_attn/...) —
+    the _LayerParams mirrors are declared in the calling BertModel's scope;
+    stacking happens at apply time (a cheap on-device copy), so checkpoints,
+    the HF converter and the freezing masks are unaffected. The scan means
+    each model compiles exactly ONE forward and ONE backward kernel payload
+    regardless of depth — without it, Mosaic compiles 2 kernels per layer and
+    compile time explodes."""
+    from kindergarten_vq_vae_tpu.ops.layer_pallas import LayerGeom, fused_bert_layer
+
+    has_cross = cfg.add_cross_attention and encoder_hidden_states is not None
+    per_layer = [
+        _LayerParams(cfg, has_cross, name=f"layer_{i}")()
+        for i in range(cfg.num_layers)
+    ]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
+
+    attn_rate = 0.0 if deterministic else cfg.attention_dropout
+    hid_rate = 0.0 if deterministic else cfg.hidden_dropout
+    if attn_rate > 0.0 or hid_rate > 0.0:
+        key = module.make_rng("dropout")
+        seeds = jax.random.randint(
+            key, (cfg.num_layers, 1),
+            jnp.iinfo(jnp.int32).min, jnp.iinfo(jnp.int32).max,
+            dtype=jnp.int32,
+        )
+    else:
+        seeds = jnp.zeros((cfg.num_layers, 1), jnp.int32)
+
+    geom = LayerGeom(
+        num_heads=cfg.num_heads,
+        head_dim=cfg.head_dim,
+        s_q=x.shape[1],
+        s_k=encoder_hidden_states.shape[1] if has_cross else x.shape[1],
+        intermediate=cfg.intermediate_size,
+        causal=cfg.is_decoder,
+        has_cross=has_cross,
+        attn_rate=attn_rate,
+        hid_rate=hid_rate,
+        eps=cfg.layer_norm_eps,
+        gelu_exact=cfg.gelu_exact,
+        block_b_fwd=cfg.layer_block_b_fwd,
+        block_b_bwd=cfg.layer_block_b_bwd,
+    )
+    enc = encoder_hidden_states if has_cross else None
+    emask = encoder_attention_mask if has_cross else None
+
+    def body(h, per):
+        ws, seed = per
+        h = fused_bert_layer(geom, h, enc, attention_mask, emask, seed, None, *ws)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, (stacked, seeds))
+    return x
+
+
 class BertModel(nn.Module):
     """BERT trunk. Encoder mode: (last_hidden_state, pooler_output).
     Decoder mode (is_decoder + add_cross_attention): causal self-attention and
@@ -274,18 +429,24 @@ class BertModel(nn.Module):
         cfg = self.cfg
         x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids, deterministic)
         self_attns, cross_attns = [], []
-        layer_cls = BertLayer
-        if cfg.remat and not output_attentions:
-            # rematerialize activations in backward (HBM-for-FLOPs trade)
-            layer_cls = nn.remat(BertLayer, static_argnums=(5, 6))
-        for i in range(cfg.num_layers):
-            x, sp, cp = layer_cls(cfg, name=f"layer_{i}")(
-                x, attention_mask, encoder_hidden_states, encoder_attention_mask,
-                deterministic, output_attentions,
+        if cfg.fused_layer and not output_attentions:
+            x = _fused_trunk(
+                self, cfg, x, attention_mask, encoder_hidden_states,
+                encoder_attention_mask, deterministic,
             )
-            if output_attentions:
-                self_attns.append(sp)
-                cross_attns.append(cp)
+        else:
+            layer_cls = BertLayer
+            if cfg.remat and not output_attentions:
+                # rematerialize activations in backward (HBM-for-FLOPs trade)
+                layer_cls = nn.remat(BertLayer, static_argnums=(5, 6))
+            for i in range(cfg.num_layers):
+                x, sp, cp = layer_cls(cfg, name=f"layer_{i}")(
+                    x, attention_mask, encoder_hidden_states, encoder_attention_mask,
+                    deterministic, output_attentions,
+                )
+                if output_attentions:
+                    self_attns.append(sp)
+                    cross_attns.append(cp)
 
         pooled = None
         if cfg.add_pooler:

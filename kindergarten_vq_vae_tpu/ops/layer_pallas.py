@@ -1,0 +1,703 @@
+"""Fused whole-transformer-layer Pallas kernels (fwd + bwd) for tiny sequences.
+
+The round-1/round-2 profiles showed the flagship step runs at ~30% MXU with
+the time spread across small-op overhead and layout conversions BETWEEN the
+ops of each BERT layer: at S=12 every intermediate (B, S, H) tensor is
+sub-tile in its second-minor dimension, so XLA pays relayouts and low-
+occupancy matmuls around the attention core, and the fused-SDPA kernel alone
+(ops/sdpa_pallas.py) only recovered ~4% because the surrounding projections
+still round-trip HBM per op.
+
+This module fuses ONE ENTIRE POST-LN BERT LAYER per kernel invocation:
+
+    LN(x + drop(Wo @ attn(Wqkv @ x)))          # self-attention block
+    [LN(x + drop(Wco @ attn(Wq @ x, Wkv @ enc)))]  # cross-attn (decoder)
+    LN(x + drop(W2 @ gelu(W1 @ x)))            # MLP block
+
+over a grid of sentence tiles: each grid step loads a (TB, S, H) activation
+tile once from HBM, keeps EVERYTHING (qkv, attention scores, gelu inputs,
+residuals, LN statistics) VMEM-resident, and writes only the layer output
+back. All weights use constant index maps, so Mosaic keeps them resident in
+VMEM across the whole grid (one HBM fetch per layer per step).
+
+The BACKWARD is a second kernel with the same tiling that RECOMPUTES the
+forward per tile (activations never hit HBM in either direction — this is
+rematerialization at VMEM granularity, much stronger than jax.checkpoint)
+and accumulates every weight/bias/LN gradient across grid steps into
+f32 VMEM accumulators (constant-index-map outputs, @pl.when(first) init —
+the TPU grid is sequential so read-modify-write accumulation is sound; the
+same pattern as the fused-VQ kernel's grid-carried stats). Per-tile
+activation gradients (dx, denc) stream out block by block.
+
+Dropout (attention-prob + the three hidden-dropout sites) uses the same
+counter-based murmur-fmix hash as ops/sdpa_pallas.py — pure VPU integer ops,
+bit-identical between forward and backward (no PRNG state), with a distinct
+op-id per dropout site folded into the hash.
+
+Semantics anchor: the reference's per-layer module stack is HF
+BertLayer (attention/crossattention/intermediate/output), consumed via
+models/bagon/Bagon.py:25-55; the jnp oracle this kernel is parity-tested
+against (value AND every gradient) is nn/bert.py's BertLayer.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kindergarten_vq_vae_tpu.ops.sdpa_pallas import (
+    _dropout_keep_scale,
+    _resolve_interpret,
+    _tile_bias,
+    _tile_geometry,
+)
+
+SQRT_2 = float(np.sqrt(2.0))
+INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+TANH_C = float(np.sqrt(2.0 / np.pi))
+
+# weight-tuple layouts (wrapper and kernels must agree)
+ENC_WEIGHTS = ("wqkv", "bqkv", "wo", "bo", "g1", "be1",
+               "w1", "b1", "w2", "b2", "g3", "be3")
+DEC_WEIGHTS = ("wqkv", "bqkv", "wo", "bo", "g1", "be1",
+               "wq", "bq", "wkv", "bkv", "wco", "bco", "g2", "be2",
+               "w1", "b1", "w2", "b2", "g3", "be3")
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerGeom:
+    """Static geometry/config of one fused layer call."""
+
+    num_heads: int
+    head_dim: int
+    s_q: int                    # sentence length of x
+    s_k: int                    # sentence length of enc (cross-attn keys)
+    intermediate: int
+    causal: bool                # causal self-attention (decoder mode)
+    has_cross: bool
+    attn_rate: float
+    hid_rate: float
+    eps: float
+    gelu_exact: bool
+    block_b_fwd: int = 64       # sentences per forward tile
+    block_b_bwd: int = 16       # sentences per backward tile (dW accums live in VMEM)
+
+    @property
+    def hidden(self) -> int:
+        return self.num_heads * self.head_dim
+
+
+def _mm(a, w):
+    """(rows, K) @ (K, N) -> f32 (rows, N); inputs stay in compute dtype."""
+    return jax.lax.dot_general(
+        a, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm_tn(a, b):
+    """a^T @ b over rows: (rows, K)^T @ (rows, N) -> f32 (K, N)."""
+    return jax.lax.dot_general(
+        a, b, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _mm_nt(a, w):
+    """a @ w^T: (rows, N) @ (K, N)^T -> f32 (rows, K)."""
+    return jax.lax.dot_general(
+        a, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _keep_2d(seed, tile, op, rows, cols, rate):
+    """(rows, cols) f32 hidden-dropout keep/scale mask: murmur-fmix of
+    (global row, column, op-site, seed). Same structure as the attention
+    keep mask in ops/sdpa_pallas.py, distinct op ids keep streams disjoint."""
+    gr = (
+        jax.lax.broadcasted_iota(jnp.uint32, (rows, 1), 0)
+        + jnp.uint32(rows) * tile.astype(jnp.uint32)
+    )
+    row_term = gr * jnp.uint32(0x9E3779B1) + (
+        seed.astype(jnp.uint32) + jnp.uint32(op) * jnp.uint32(0xC2B2AE3D)
+    )
+    col = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1)
+    x = row_term ^ (col * jnp.uint32(0x85EBCA77))
+    x ^= x >> 16
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> 13
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> 16
+    thresh = np.uint32(min(rate, 1.0) * float(2**32 - 1))
+    return jnp.where(x >= thresh, 1.0 / (1.0 - rate), 0.0).astype(jnp.float32)
+
+
+def _ln_fwd(r, gamma, beta, eps, out_dtype):
+    """Post-LN with fast variance (flax default). r is f32 (rows, N).
+    Returns (out, yhat, inv) — yhat/inv are the backward residuals."""
+    mu = jnp.mean(r, axis=1, keepdims=True)
+    var = jnp.maximum(jnp.mean(r * r, axis=1, keepdims=True) - mu * mu, 0.0)
+    inv = jax.lax.rsqrt(var + eps)
+    yhat = (r - mu) * inv
+    out = (yhat * gamma + beta).astype(out_dtype)
+    return out, yhat, inv
+
+
+def _ln_bwd(gy, yhat, inv, gamma):
+    """d/dr of LN given upstream gy (f32)."""
+    dyhat = gy * gamma
+    m1 = jnp.mean(dyhat, axis=1, keepdims=True)
+    m2 = jnp.mean(dyhat * yhat, axis=1, keepdims=True)
+    return inv * (dyhat - m1 - yhat * m2)
+
+
+def _erf(x):
+    """erf via Abramowitz & Stegun 7.1.26 (max abs error 1.5e-7): Mosaic has
+    no erf lowering, and 1.5e-7 is far below bf16 resolution and the f32
+    parity tolerances — keeps gelu_exact=True semantics without a primitive."""
+    s = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+           + t * (-1.453152027 + t * 1.061405429))))
+    return s * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_fwd(u, exact):
+    if exact:
+        return 0.5 * u * (1.0 + _erf(u / SQRT_2))
+    w = TANH_C * (u + 0.044715 * u * u * u)
+    return 0.5 * u * (1.0 + jnp.tanh(w))
+
+
+def _gelu_grad(u, exact):
+    if exact:
+        cdf = 0.5 * (1.0 + _erf(u / SQRT_2))
+        pdf = jnp.exp(-0.5 * u * u) * INV_SQRT_2PI
+        return cdf + u * pdf
+    w = TANH_C * (u + 0.044715 * u * u * u)
+    t = jnp.tanh(w)
+    return 0.5 * (1.0 + t) + 0.5 * u * (1.0 - t * t) * TANH_C * (
+        1.0 + 3.0 * 0.044715 * u * u
+    )
+
+
+def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
+                   nh, hd, tb, s_q, s_k, rate, cdtype):
+    """Per-head block-diagonal attention over packed rows (same math as
+    ops/sdpa_pallas._sdpa_fwd_kernel). Returns f32 (rows_q, H) context."""
+    scale = 1.0 / float(np.sqrt(hd))
+    parts = []
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh = q2[:, sl], k2[:, sl], v2[:, sl]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e, axis=1, keepdims=True)
+        p = e / z
+        if rate > 0.0:
+            p = p * _dropout_keep_scale(seed, tile, op_base + h, kpos, tb, s_q, s_k, rate)
+        parts.append(jax.lax.dot_general(
+            p.astype(cdtype), vh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(parts, axis=1)
+
+
+def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
+                   nh, hd, tb, s_q, s_k, rate, cdtype):
+    """Backward of _attn_fwd_tile (recomputes p per head). g_ctx f32.
+    Returns f32 (dq, dk, dv), each (rows, H)."""
+    scale = 1.0 / float(np.sqrt(hd))
+    dq_parts, dk_parts, dv_parts = [], [], []
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        qh, kh, vh = q2[:, sl], k2[:, sl], v2[:, sl]
+        gh = g_ctx[:, sl].astype(cdtype)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale + bias
+        m = jnp.max(s, axis=1, keepdims=True)
+        e = jnp.exp(s - m)
+        z = jnp.sum(e, axis=1, keepdims=True)
+        p = e / z
+        if rate > 0.0:
+            kappa = _dropout_keep_scale(seed, tile, op_base + h, kpos, tb, s_q, s_k, rate)
+            pd = p * kappa
+        else:
+            pd = p
+        dv_parts.append(jax.lax.dot_general(
+            pd.astype(cdtype), gh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ))
+        dpd = jax.lax.dot_general(
+            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dp = dpd * kappa if rate > 0.0 else dpd
+        t = jnp.sum(dp * p, axis=1, keepdims=True)
+        ds = (p * (dp - t) * scale).astype(cdtype)
+        dq_parts.append(jax.lax.dot_general(
+            ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+        dk_parts.append(jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ))
+    return (
+        jnp.concatenate(dq_parts, axis=1),
+        jnp.concatenate(dk_parts, axis=1),
+        jnp.concatenate(dv_parts, axis=1),
+    )
+
+
+def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
+                    skpos, ckpos, W):
+    """Shared forward math (used by fwd kernel, and recomputed in bwd).
+
+    x: (rows, H) cdtype; enc: (rows_k, H) cdtype or None. Returns the final
+    output plus every residual the backward needs (all VMEM values).
+    """
+    g = geom
+    nh, hd, H = g.num_heads, g.head_dim, g.hidden
+    cdtype = x.dtype
+    rows = tb * g.s_q
+    res = {}
+
+    # ---- self-attention block
+    qkv = _mm(x, W["wqkv"]) + W["bqkv"]
+    qkv_c = qkv.astype(cdtype)
+    res["qkv_c"] = qkv_c
+    q2, k2, v2 = qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:]
+    ctx = _attn_fwd_tile(q2, k2, v2, sbias, skpos, seed, tile, 0,
+                         nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype)
+    ctx_c = ctx.astype(cdtype)
+    res["ctx_c"] = ctx_c
+    a1 = _mm(ctx_c, W["wo"]) + W["bo"]
+    if g.hid_rate > 0.0:
+        k1 = _keep_2d(seed, tile, 1000, rows, H, g.hid_rate)
+        res["k1"] = k1
+        a1 = a1 * k1
+    r1 = x.astype(jnp.float32) + a1
+    x1, yhat1, inv1 = _ln_fwd(r1, W["g1"], W["be1"], g.eps, cdtype)
+    res["x1"], res["yhat1"], res["inv1"] = x1, yhat1, inv1
+
+    xm = x1  # input to the MLP block (replaced by x2 in decoder mode)
+
+    # ---- cross-attention block (decoder)
+    if g.has_cross:
+        qc = (_mm(x1, W["wq"]) + W["bq"]).astype(cdtype)
+        kvc = (_mm(enc, W["wkv"]) + W["bkv"]).astype(cdtype)
+        res["qc"], res["kvc"] = qc, kvc
+        kc, vc = kvc[:, :H], kvc[:, H:]
+        ctx2 = _attn_fwd_tile(qc, kc, vc, cbias, ckpos, seed, tile, nh + 1,
+                              nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype)
+        ctx2_c = ctx2.astype(cdtype)
+        res["ctx2_c"] = ctx2_c
+        a2 = _mm(ctx2_c, W["wco"]) + W["bco"]
+        if g.hid_rate > 0.0:
+            k2d = _keep_2d(seed, tile, 1001, rows, H, g.hid_rate)
+            res["k2"] = k2d
+            a2 = a2 * k2d
+        r2 = x1.astype(jnp.float32) + a2
+        x2, yhat2, inv2 = _ln_fwd(r2, W["g2"], W["be2"], g.eps, cdtype)
+        res["x2"], res["yhat2"], res["inv2"] = x2, yhat2, inv2
+        xm = x2
+
+    # ---- MLP block
+    u = _mm(xm, W["w1"]) + W["b1"]
+    u_c = u.astype(cdtype)
+    res["u_c"] = u_c
+    mlp = _gelu_fwd(u, g.gelu_exact).astype(cdtype)
+    res["m_c"] = mlp
+    y = _mm(mlp, W["w2"]) + W["b2"]
+    if g.hid_rate > 0.0:
+        k3 = _keep_2d(seed, tile, 1002, rows, H, g.hid_rate)
+        res["k3"] = k3
+        y = y * k3
+    r3 = xm.astype(jnp.float32) + y
+    out, yhat3, inv3 = _ln_fwd(r3, W["g3"], W["be3"], g.eps, cdtype)
+    res["yhat3"], res["inv3"] = yhat3, inv3
+    return out, res
+
+
+def _weights_dict(geom, refs):
+    names = DEC_WEIGHTS if geom.has_cross else ENC_WEIGHTS
+    return {n: r[:] for n, r in zip(names, refs)}
+
+
+def _layer_fwd_kernel(geom: LayerGeom, seed_ref, *refs):
+    g = geom
+    tb = g.block_b_fwd
+    rows = tb * g.s_q
+    pos = 0
+    x_ref = refs[pos]; pos += 1
+    enc_ref = None
+    if g.has_cross:
+        enc_ref = refs[pos]; pos += 1
+    smask_ref = refs[pos]; pos += 1
+    cmask_ref = None
+    if g.has_cross:
+        cmask_ref = refs[pos]; pos += 1
+    n_w = len(DEC_WEIGHTS if g.has_cross else ENC_WEIGHTS)
+    w_refs = refs[pos:pos + n_w]; pos += n_w
+    out_ref = refs[pos]
+
+    W = _weights_dict(g, w_refs)
+    x = x_ref[:].reshape(rows, g.hidden)
+    enc = enc_ref[:].reshape(tb * g.s_k, g.hidden) if g.has_cross else None
+
+    sqpos, skpos = _tile_geometry(tb, g.s_q, g.s_q)
+    sbias = _tile_bias(smask_ref, sqpos, skpos, tb, g.s_q, g.s_q, g.causal)
+    cbias = ckpos = None
+    if g.has_cross:
+        cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
+        cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
+
+    out, _ = _layer_fwd_core(
+        g, tb, seed_ref[0], pl.program_id(0), x, enc, sbias, cbias, skpos, ckpos, W
+    )
+    out_ref[:] = out.reshape(tb, g.s_q, g.hidden).astype(out_ref.dtype)
+
+
+def _acc(ref, val):
+    """Accumulate into a constant-index-map output across the sequential grid."""
+    first = pl.program_id(0) == 0
+
+    @pl.when(first)
+    def _():
+        ref[:] = val.astype(ref.dtype)
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        ref[:] = ref[:] + val.astype(ref.dtype)
+
+
+def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
+    g = geom
+    tb = g.block_b_bwd
+    rows = tb * g.s_q
+    nh, hd, H = g.num_heads, g.head_dim, g.hidden
+    names = DEC_WEIGHTS if g.has_cross else ENC_WEIGHTS
+
+    pos = 0
+    x_ref = refs[pos]; pos += 1
+    enc_ref = None
+    if g.has_cross:
+        enc_ref = refs[pos]; pos += 1
+    smask_ref = refs[pos]; pos += 1
+    cmask_ref = None
+    if g.has_cross:
+        cmask_ref = refs[pos]; pos += 1
+    gy_ref = refs[pos]; pos += 1
+    w_refs = refs[pos:pos + len(names)]; pos += len(names)
+    dx_ref = refs[pos]; pos += 1
+    denc_ref = None
+    if g.has_cross:
+        denc_ref = refs[pos]; pos += 1
+    dw_refs = {n: refs[pos + i] for i, n in enumerate(names)}
+
+    W = _weights_dict(g, w_refs)
+    cdtype = x_ref.dtype
+    x = x_ref[:].reshape(rows, H)
+    enc = enc_ref[:].reshape(tb * g.s_k, H) if g.has_cross else None
+    seed, tile = seed_ref[0], pl.program_id(0)
+
+    sqpos, skpos = _tile_geometry(tb, g.s_q, g.s_q)
+    sbias = _tile_bias(smask_ref, sqpos, skpos, tb, g.s_q, g.s_q, g.causal)
+    cbias = ckpos = None
+    if g.has_cross:
+        cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
+        cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
+
+    # recompute the forward, keeping residuals in VMEM
+    _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias, skpos, ckpos, W)
+
+    gy = gy_ref[:].reshape(rows, H).astype(jnp.float32)
+
+    # ---- MLP block backward
+    _acc(dw_refs["g3"], jnp.sum(gy * res["yhat3"], axis=0, keepdims=True))
+    _acc(dw_refs["be3"], jnp.sum(gy, axis=0, keepdims=True))
+    dr3 = _ln_bwd(gy, res["yhat3"], res["inv3"], W["g3"])
+    dy = dr3 * res["k3"] if g.hid_rate > 0.0 else dr3
+    dy_c = dy.astype(cdtype)
+    _acc(dw_refs["w2"], _mm_tn(res["m_c"], dy_c))
+    _acc(dw_refs["b2"], jnp.sum(dy, axis=0, keepdims=True))
+    dm = _mm_nt(dy_c, W["w2"])
+    du = dm * _gelu_grad(res["u_c"].astype(jnp.float32), g.gelu_exact)
+    du_c = du.astype(cdtype)
+    xm = res["x2"] if g.has_cross else res["x1"]
+    _acc(dw_refs["w1"], _mm_tn(xm, du_c))
+    _acc(dw_refs["b1"], jnp.sum(du, axis=0, keepdims=True))
+    dxm = dr3 + _mm_nt(du_c, W["w1"])
+
+    # ---- cross-attention block backward (decoder)
+    if g.has_cross:
+        _acc(dw_refs["g2"], jnp.sum(dxm * res["yhat2"], axis=0, keepdims=True))
+        _acc(dw_refs["be2"], jnp.sum(dxm, axis=0, keepdims=True))
+        dr2 = _ln_bwd(dxm, res["yhat2"], res["inv2"], W["g2"])
+        da2 = dr2 * res["k2"] if g.hid_rate > 0.0 else dr2
+        da2_c = da2.astype(cdtype)
+        _acc(dw_refs["wco"], _mm_tn(res["ctx2_c"], da2_c))
+        _acc(dw_refs["bco"], jnp.sum(da2, axis=0, keepdims=True))
+        dctx2 = _mm_nt(da2_c, W["wco"])
+        kvc = res["kvc"]
+        dqc, dkc, dvc = _attn_bwd_tile(
+            res["qc"], kvc[:, :H], kvc[:, H:], cbias, ckpos, seed, tile,
+            nh + 1, dctx2, nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
+        )
+        dqc_c = dqc.astype(cdtype)
+        _acc(dw_refs["wq"], _mm_tn(res["x1"], dqc_c))
+        _acc(dw_refs["bq"], jnp.sum(dqc, axis=0, keepdims=True))
+        dkv = jnp.concatenate([dkc, dvc], axis=1)
+        dkv_c = dkv.astype(cdtype)
+        _acc(dw_refs["wkv"], _mm_tn(enc, dkv_c))
+        _acc(dw_refs["bkv"], jnp.sum(dkv, axis=0, keepdims=True))
+        denc = _mm_nt(dkv_c, W["wkv"])
+        denc_ref[:] = denc.reshape(tb, g.s_k, H).astype(denc_ref.dtype)
+        dx1 = dr2 + _mm_nt(dqc_c, W["wq"])
+    else:
+        dx1 = dxm
+
+    # ---- self-attention block backward
+    _acc(dw_refs["g1"], jnp.sum(dx1 * res["yhat1"], axis=0, keepdims=True))
+    _acc(dw_refs["be1"], jnp.sum(dx1, axis=0, keepdims=True))
+    dr1 = _ln_bwd(dx1, res["yhat1"], res["inv1"], W["g1"])
+    da1 = dr1 * res["k1"] if g.hid_rate > 0.0 else dr1
+    da1_c = da1.astype(cdtype)
+    _acc(dw_refs["wo"], _mm_tn(res["ctx_c"], da1_c))
+    _acc(dw_refs["bo"], jnp.sum(da1, axis=0, keepdims=True))
+    dctx = _mm_nt(da1_c, W["wo"])
+    qkv_c = res["qkv_c"]
+    dq, dk, dv = _attn_bwd_tile(
+        qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:], sbias, skpos,
+        seed, tile, 0, dctx, nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype,
+    )
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+    dqkv_c = dqkv.astype(cdtype)
+    _acc(dw_refs["wqkv"], _mm_tn(x, dqkv_c))
+    _acc(dw_refs["bqkv"], jnp.sum(dqkv, axis=0, keepdims=True))
+    dx = dr1 + _mm_nt(dqkv_c, W["wqkv"])
+    dx_ref[:] = dx.reshape(tb, g.s_q, H).astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+
+
+def _pad_rows(a, b_pad):
+    if a.shape[0] == b_pad:
+        return a
+    return jnp.pad(a, ((0, b_pad - a.shape[0]),) + ((0, 0),) * (a.ndim - 1))
+
+
+def _pad_mask(m, b_pad):
+    if m.shape[0] == b_pad:
+        return m
+    return jnp.pad(m, ((0, b_pad - m.shape[0]), (0, 0)), constant_values=1)
+
+
+def _prep_weights(geom, weights, cdtype):
+    """Cast to compute dtype (f32 LN params stay f32 — they multiply f32
+    values in-kernel) and lift 1-D vectors to (1, N) blocks."""
+    names = DEC_WEIGHTS if geom.has_cross else ENC_WEIGHTS
+    out = []
+    for n, w in zip(names, weights):
+        if n.startswith("w"):
+            w = w.astype(cdtype)
+        else:
+            w = w.astype(jnp.float32)
+        if w.ndim == 1:
+            w = w.reshape(1, -1)
+        out.append(w)
+    return out
+
+
+def _wspecs(ws):
+    return [
+        pl.BlockSpec(w.shape, lambda i, seed: (0,) * w.ndim, memory_space=pltpu.VMEM)
+        for w in ws
+    ]
+
+
+def _flop_estimate(geom, rows_total, backward):
+    H, F = geom.hidden, geom.intermediate
+    proj = 2 * rows_total * H * (3 * H + H + 2 * F)
+    if geom.has_cross:
+        proj += 2 * rows_total * H * (H + 2 * H + H)
+    attn = 4 * rows_total * (geom.block_b_fwd * geom.s_q) * H
+    fwd = proj + attn
+    return fwd * (3 if backward else 1)
+
+
+def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret):
+    interpret = _resolve_interpret(interpret)
+    b, s_q, H = x.shape
+    tb = min(geom.block_b_fwd, b)
+    geom = dataclasses.replace(geom, block_b_fwd=tb)
+    b_pad = ((b + tb - 1) // tb) * tb
+    grid = b_pad // tb
+    cdtype = x.dtype
+
+    xp = _pad_rows(x, b_pad)
+    sm = _pad_mask(smask, b_pad).astype(jnp.int32).reshape(grid, 1, tb * s_q)
+    inputs = [xp]
+    xspec = pl.BlockSpec((tb, s_q, H), lambda i, seed: (i, 0, 0), memory_space=pltpu.VMEM)
+    especs = [xspec]
+    if geom.has_cross:
+        ep = _pad_rows(enc.astype(cdtype), b_pad)
+        inputs.append(ep)
+        especs.append(pl.BlockSpec((tb, geom.s_k, H), lambda i, seed: (i, 0, 0),
+                                   memory_space=pltpu.VMEM))
+    inputs.append(sm)
+    especs.append(pl.BlockSpec((1, 1, tb * s_q), lambda i, seed: (i, 0, 0),
+                               memory_space=pltpu.VMEM))
+    if geom.has_cross:
+        cm = _pad_mask(cmask, b_pad).astype(jnp.int32).reshape(grid, 1, tb * geom.s_k)
+        inputs.append(cm)
+        especs.append(pl.BlockSpec((1, 1, tb * geom.s_k), lambda i, seed: (i, 0, 0),
+                                   memory_space=pltpu.VMEM))
+    ws = _prep_weights(geom, weights, cdtype)
+    inputs.extend(ws)
+    especs.extend(_wspecs(ws))
+
+    out = pl.pallas_call(
+        functools.partial(_layer_fwd_kernel, geom),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=especs,
+            out_specs=xspec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_q, H), cdtype),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=_flop_estimate(geom, b_pad * s_q, False),
+            bytes_accessed=2 * b_pad * s_q * H * x.dtype.itemsize,
+            transcendentals=b_pad * s_q * (geom.intermediate + tb * s_q * geom.num_heads),
+        ),
+    )(seed, *inputs)
+    return out[:b]
+
+
+def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret):
+    interpret = _resolve_interpret(interpret)
+    b, s_q, H = x.shape
+    tb = min(geom.block_b_bwd, b)
+    geom = dataclasses.replace(geom, block_b_bwd=tb)
+    b_pad = ((b + tb - 1) // tb) * tb
+    grid = b_pad // tb
+    cdtype = x.dtype
+    names = DEC_WEIGHTS if geom.has_cross else ENC_WEIGHTS
+
+    xp = _pad_rows(x, b_pad)
+    gp = _pad_rows(gy.astype(cdtype), b_pad)  # zero-padded rows -> zero dW contributions
+    sm = _pad_mask(smask, b_pad).astype(jnp.int32).reshape(grid, 1, tb * s_q)
+    xspec = pl.BlockSpec((tb, s_q, H), lambda i, seed: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    inputs, especs = [xp], [xspec]
+    if geom.has_cross:
+        inputs.append(_pad_rows(enc.astype(cdtype), b_pad))
+        especs.append(pl.BlockSpec((tb, geom.s_k, H), lambda i, seed: (i, 0, 0),
+                                   memory_space=pltpu.VMEM))
+    inputs.append(sm)
+    especs.append(pl.BlockSpec((1, 1, tb * s_q), lambda i, seed: (i, 0, 0),
+                               memory_space=pltpu.VMEM))
+    if geom.has_cross:
+        cm = _pad_mask(cmask, b_pad).astype(jnp.int32).reshape(grid, 1, tb * geom.s_k)
+        inputs.append(cm)
+        especs.append(pl.BlockSpec((1, 1, tb * geom.s_k), lambda i, seed: (i, 0, 0),
+                                   memory_space=pltpu.VMEM))
+    inputs.append(gp)
+    especs.append(xspec)
+    ws = _prep_weights(geom, weights, cdtype)
+    inputs.extend(ws)
+    especs.extend(_wspecs(ws))
+
+    out_shapes = [jax.ShapeDtypeStruct((b_pad, s_q, H), cdtype)]
+    out_specs = [xspec]
+    if geom.has_cross:
+        # cotangent dtype must match the PRIMAL enc dtype (e.g. f32 z_q fed
+        # into a bf16 trunk), not the compute dtype
+        out_shapes.append(jax.ShapeDtypeStruct((b_pad, geom.s_k, H), enc.dtype))
+        out_specs.append(pl.BlockSpec((tb, geom.s_k, H), lambda i, seed: (i, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    for n, w in zip(names, ws):
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        out_specs.append(pl.BlockSpec(w.shape, lambda i, seed, nd=w.ndim: (0,) * nd,
+                                      memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_layer_bwd_kernel, geom),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=especs,
+            out_specs=out_specs,
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=_flop_estimate(geom, b_pad * s_q, True),
+            bytes_accessed=4 * b_pad * s_q * H * x.dtype.itemsize,
+            transcendentals=2 * b_pad * s_q * (geom.intermediate + tb * s_q * geom.num_heads),
+        ),
+    )(seed, *inputs)
+
+    dx = outs[0][:b]
+    idx = 1
+    denc = None
+    if geom.has_cross:
+        denc = outs[idx][:b]
+        idx += 1
+    dws = []
+    for n, w in zip(names, weights):
+        dw = outs[idx]
+        idx += 1
+        if w.ndim == 1:
+            dw = dw.reshape(-1)
+        dws.append(dw.astype(w.dtype))
+    return dx, denc, tuple(dws)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6))
+def fused_bert_layer(geom: LayerGeom, x, enc, smask, cmask, seed, interpret, *weights):
+    """One whole post-LN BERT layer, fused. x (B,S,H); enc (B,S_k,H) or None;
+    smask/cmask (B,S)/(B,S_k) key-validity ints or None; seed (1,) int32 for
+    the in-kernel hash dropout (set rates to 0 in geom when deterministic).
+    ``weights`` follow ENC_WEIGHTS/DEC_WEIGHTS order; grads flow to x, enc
+    and every weight."""
+    if smask is None:
+        smask = jnp.ones((x.shape[0], x.shape[1]), jnp.int32)
+    if geom.has_cross and cmask is None:
+        cmask = jnp.ones((x.shape[0], geom.s_k), jnp.int32)
+    return _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret)
+
+
+def _fbl_fwd(geom, x, enc, smask, cmask, seed, interpret, *weights):
+    out = fused_bert_layer(geom, x, enc, smask, cmask, seed, interpret, *weights)
+    return out, (x, enc, smask, cmask, seed, weights)
+
+
+def _fbl_bwd(geom, interpret, res, gy):
+    x, enc, smask, cmask, seed, weights = res
+    if smask is None:
+        smask = jnp.ones((x.shape[0], x.shape[1]), jnp.int32)
+    if geom.has_cross and cmask is None:
+        cmask = jnp.ones((x.shape[0], geom.s_k), jnp.int32)
+    dx, denc, dws = _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret)
+    return (dx, denc, None, None, None) + dws
+
+
+fused_bert_layer.defvjp(_fbl_fwd, _fbl_bwd)

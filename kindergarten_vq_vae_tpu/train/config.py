@@ -100,6 +100,13 @@ class ModelConfig:
     # under a GSPMD mesh (custom calls aren't auto-partitionable).
     fused_attn: str = "auto"             # "auto" | "on" | "off"
     sdpa_block_b: int = 64               # sentences per SDPA kernel tile
+    # fused whole-layer Pallas kernel (ops/layer_pallas.py): one kernel per
+    # BertLayer (fwd + recompute backward, weights VMEM-resident across the
+    # sentence-tile grid). Supersedes fused_attn when active. Same "auto"
+    # semantics: single-device TPU only.
+    fused_layer: str = "auto"            # "auto" | "on" | "off"
+    layer_block_b_fwd: int = 64          # sentences per fused-layer fwd tile
+    layer_block_b_bwd: int = 16          # sentences per fused-layer bwd tile
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     # dead-code revival (new capability; counters the index collapse a

@@ -48,6 +48,7 @@ from kindergarten_vq_vae_tpu.train.variants import (
     init_params,
     make_loss_fn,
 )
+from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 from kindergarten_vq_vae_tpu.utils.consts import EXPLICIT_FACTOR_VALUES
 
 
@@ -207,7 +208,8 @@ class Engine:
             new_state = TrainState(params, opt_state, ema, state.step + 1, dead_steps)
             return new_state, aux
 
-        return jax.jit(step, donate_argnums=(0,))
+        return jax.jit(step, donate_argnums=(0,),
+                       compiler_options=tpu_compiler_options())
 
     def _build_eval_step(self, stage: str):
         loss_fn = make_loss_fn(self.cfg, stage, mesh=self.mesh)
@@ -217,7 +219,7 @@ class Engine:
             _, aux = loss_fn(params, batch, rngs, True)
             return aux
 
-        return jax.jit(step)
+        return jax.jit(step, compiler_options=tpu_compiler_options())
 
     # ------------------------------------------------------------------ loops
 

@@ -33,14 +33,20 @@ from kindergarten_vq_vae_tpu.utils.tensor import (
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 
-def _resolve_fused_attn(m, mesh) -> bool:
-    if m.fused_attn == "on":
+def _resolve_auto_flag(value: str, mesh) -> bool:
+    """'auto' -> on for single-device TPU only (interpret mode is slow on
+    CPU; custom calls aren't auto-partitionable under a GSPMD mesh)."""
+    if value == "on":
         return True
-    if m.fused_attn == "off":
+    if value == "off":
         return False
     import jax as _jax
 
     return _jax.default_backend() == "tpu" and mesh is None
+
+
+def _resolve_fused_attn(m, mesh) -> bool:
+    return _resolve_auto_flag(m.fused_attn, mesh)
 
 
 def bert_configs(cfg: RunConfig, mesh=None):
@@ -63,6 +69,9 @@ def bert_configs(cfg: RunConfig, mesh=None):
         remat=m.remat,
         fused_sdpa=_resolve_fused_attn(m, mesh),
         sdpa_block_b=m.sdpa_block_b,
+        fused_layer=_resolve_auto_flag(m.fused_layer, mesh),
+        layer_block_b_fwd=m.layer_block_b_fwd,
+        layer_block_b_bwd=m.layer_block_b_bwd,
         dtype=_DTYPES[m.compute_dtype],
     )
     enc = BertConfig(add_pooler=True, **common)

@@ -1,0 +1,29 @@
+"""Compile-option helpers for TPU jits.
+
+The fused whole-layer kernels (ops/layer_pallas.py) run under a lax.scan
+over layers; XLA's buffer assignment then places the backward kernel's
+output buffers (dx + the per-layer dW slices, ~40 MB at bert-base) in VMEM
+inside the while-loop body, which trips the default 16 MiB scoped-vmem
+limit. The limit is a proto-backed XLA option, so it can be raised
+per-compile via jax.jit(compiler_options=...) — the env-var route
+(XLA_FLAGS) does NOT work here: the client-side parser rejects TPU-only
+flags, and the remote-compile terminal overrides the env anyway
+(CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+
+SCOPED_VMEM_KIB = 115_000  # ~112 MiB; v5e VMEM is 128 MiB total. Under lax.scan
+# the fused-layer custom calls are wrapped in kCustom fusions governed by
+# THIS limit (the per-kernel pallas vmem_limit_bytes is not consulted), and
+# the backward kernel at TB=16 needs ~70-100 MiB.
+
+
+def tpu_compiler_options() -> dict:
+    """Options for jits that may contain fused-layer kernels. Empty off-TPU
+    (the CPU backend rejects unknown TPU options)."""
+    if jax.default_backend() != "tpu":
+        return {}
+    return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}

@@ -49,6 +49,7 @@ def main():
     from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
     from kindergarten_vq_vae_tpu.train.optim import make_optimizer
     from kindergarten_vq_vae_tpu.train.variants import build_model, init_params, make_loss_fn
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
     B, S = args.batch, 12
     cfg = RunConfig(
@@ -82,7 +83,7 @@ def main():
     results = {}
 
     # ---- B: fwd+bwd, no optimizer (carry global grad norm to defeat DCE)
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,), compiler_options=tpu_compiler_options())
     def step_fwdbwd(params, acc, i):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rngs_for(i), False
@@ -97,7 +98,7 @@ def main():
     print(f"B fwd+bwd (+gradnorm):  {results['B_fwd_bwd']:8.2f} ms", flush=True)
 
     # ---- C: fwd only
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,), compiler_options=tpu_compiler_options())
     def step_fwd(params, acc, i):
         loss, _ = loss_fn(params, batch, rngs_for(i), False)
         return acc + loss, i + 1
@@ -117,7 +118,7 @@ def main():
         )
         return jnp.mean(out["logits"].astype(jnp.float32)) + out["vq_loss"]
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,), compiler_options=tpu_compiler_options())
     def step_d(params, acc, i):
         loss, grads = jax.value_and_grad(loss_mean_logits)(params, i)
         return acc + loss + grad_touch(grads), i + 1
@@ -138,7 +139,7 @@ def main():
         )
         return jnp.mean(out["z_q"].astype(jnp.float32)) + out["vq_loss"]
 
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,), compiler_options=tpu_compiler_options())
     def step_e(params, acc, i):
         loss, grads = jax.value_and_grad(loss_enc_only)(params, i)
         return acc + loss + grad_touch(grads), i + 1
@@ -151,7 +152,7 @@ def main():
     print(f"E enc+VQ fwd+bwd:       {results['E_enc_vq_only']:8.2f} ms  (note: decoder still computed+differentiated? no — DCE'd)", flush=True)
 
     # ---- F: deterministic fwd+bwd (no dropout anywhere)
-    @functools.partial(jax.jit, donate_argnums=(1,))
+    @functools.partial(jax.jit, donate_argnums=(1,), compiler_options=tpu_compiler_options())
     def step_f(params, acc, i):
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, batch, rngs_for(i), True
@@ -168,7 +169,7 @@ def main():
     # ---- A: full train step (bench parity); opt_state allocated only now
     opt_state = tx.init(params)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(jax.jit, donate_argnums=(0,), compiler_options=tpu_compiler_options())
     def step_full(st):
         params, opt_state, i = st
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(

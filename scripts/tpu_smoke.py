@@ -5,6 +5,7 @@ script is the complement, meant to run whenever a real device is available.
     python scripts/tpu_smoke.py
 """
 
+import functools
 import os
 import sys
 import time
@@ -54,7 +55,9 @@ def main():
         "n_valid": jnp.int32(512),
     }
 
-    @jax.jit
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def step(params, opt_state, batch, i):
         key = jax.random.fold_in(jax.random.key(1), i)
         rngs = dict(zip(("dropout", "gumbel", "perturb"), jax.random.split(key, 3)))
