@@ -66,6 +66,7 @@ class BertConfig:
     fused_layer: bool = False
     layer_block_b_fwd: int = 64  # sentences per fwd tile
     layer_block_b_bwd: int = 16  # sentences per bwd tile (dW accums in VMEM)
+    layer_attn_chunk: int = 32   # sentences per attention sub-chunk (see LayerGeom)
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property
@@ -395,6 +396,7 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
         gelu_exact=cfg.gelu_exact,
         block_b_fwd=cfg.layer_block_b_fwd,
         block_b_bwd=cfg.layer_block_b_bwd,
+        attn_chunk=cfg.layer_attn_chunk,
     )
     enc = encoder_hidden_states if has_cross else None
     emask = encoder_attention_mask if has_cross else None

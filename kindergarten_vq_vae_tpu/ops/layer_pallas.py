@@ -87,6 +87,12 @@ class LayerGeom:
     gelu_exact: bool
     block_b_fwd: int = 64       # sentences per forward tile
     block_b_bwd: int = 16       # sentences per backward tile (dW accums live in VMEM)
+    # sentences per attention sub-chunk: the packed score matmul costs
+    # O((nc*S)^2) for O(nc*S^2) useful block-diagonal entries, so smaller
+    # chunks cut pure waste — but nc*S should stay a multiple of the 128-wide
+    # MXU tile (32*12=384) or the padding eats the gain. Projections keep the
+    # full tile's rows.
+    attn_chunk: int = 32
 
     @property
     def hidden(self) -> int:
@@ -186,73 +192,108 @@ def _gelu_grad(u, exact):
     )
 
 
+def _attn_chunks(nc, tb):
+    """Effective (sentences-per-chunk, n_chunks) for a tile of tb sentences."""
+    if nc <= 0 or nc >= tb or tb % nc != 0:
+        return tb, 1
+    return nc, tb // nc
+
+
 def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
-                   nh, hd, tb, s_q, s_k, rate, cdtype):
-    """Per-head block-diagonal attention over packed rows (same math as
-    ops/sdpa_pallas._sdpa_fwd_kernel). Returns f32 (rows_q, H) context."""
+                   nh, hd, tb, s_q, s_k, rate, cdtype, nc):
+    """Block-diagonal attention over packed rows (same math as
+    ops/sdpa_pallas._sdpa_fwd_kernel), chunked into nc-sentence diagonal
+    blocks so the packed score matmuls waste O(nc) instead of O(tb).
+    The chunked dropout hash is bit-identical to the unchunked one (the
+    chunk-local tile index reproduces the same global row ids).
+    Returns f32 (rows_q, H) context."""
     scale = 1.0 / float(np.sqrt(hd))
-    parts = []
-    for h in range(nh):
-        sl = slice(h * hd, (h + 1) * hd)
-        qh, kh, vh = q2[:, sl], k2[:, sl], v2[:, sl]
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale + bias
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        z = jnp.sum(e, axis=1, keepdims=True)
-        p = e / z
-        if rate > 0.0:
-            p = p * _dropout_keep_scale(seed, tile, op_base + h, kpos, tb, s_q, s_k, rate)
-        parts.append(jax.lax.dot_general(
-            p.astype(cdtype), vh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))
-    return jnp.concatenate(parts, axis=1)
+    nc, n_chunks = _attn_chunks(nc, tb)
+    rq, rk = nc * s_q, nc * s_k
+    chunk_rows = []
+    for c in range(n_chunks):
+        cbias = bias[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk]
+        ckpos = kpos[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk] if rate > 0.0 else None
+        ctile = tile * n_chunks + c
+        parts = []
+        for h in range(nh):
+            sl = slice(h * hd, (h + 1) * hd)
+            qh = q2[c * rq:(c + 1) * rq, sl]
+            kh = k2[c * rk:(c + 1) * rk, sl]
+            vh = v2[c * rk:(c + 1) * rk, sl]
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale + cbias
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            z = jnp.sum(e, axis=1, keepdims=True)
+            p = e / z
+            if rate > 0.0:
+                p = p * _dropout_keep_scale(seed, ctile, op_base + h, ckpos, nc, s_q, s_k, rate)
+            parts.append(jax.lax.dot_general(
+                p.astype(cdtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        chunk_rows.append(jnp.concatenate(parts, axis=1))
+    return chunk_rows[0] if n_chunks == 1 else jnp.concatenate(chunk_rows, axis=0)
 
 
 def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
-                   nh, hd, tb, s_q, s_k, rate, cdtype):
-    """Backward of _attn_fwd_tile (recomputes p per head). g_ctx f32.
+                   nh, hd, tb, s_q, s_k, rate, cdtype, nc):
+    """Backward of _attn_fwd_tile (recomputes p per chunk/head). g_ctx f32.
     Returns f32 (dq, dk, dv), each (rows, H)."""
     scale = 1.0 / float(np.sqrt(hd))
-    dq_parts, dk_parts, dv_parts = [], [], []
-    for h in range(nh):
-        sl = slice(h * hd, (h + 1) * hd)
-        qh, kh, vh = q2[:, sl], k2[:, sl], v2[:, sl]
-        gh = g_ctx[:, sl].astype(cdtype)
-        s = jax.lax.dot_general(
-            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale + bias
-        m = jnp.max(s, axis=1, keepdims=True)
-        e = jnp.exp(s - m)
-        z = jnp.sum(e, axis=1, keepdims=True)
-        p = e / z
-        if rate > 0.0:
-            kappa = _dropout_keep_scale(seed, tile, op_base + h, kpos, tb, s_q, s_k, rate)
-            pd = p * kappa
-        else:
-            pd = p
-        dv_parts.append(jax.lax.dot_general(
-            pd.astype(cdtype), gh, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ))
-        dpd = jax.lax.dot_general(
-            gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        dp = dpd * kappa if rate > 0.0 else dpd
-        t = jnp.sum(dp * p, axis=1, keepdims=True)
-        ds = (p * (dp - t) * scale).astype(cdtype)
-        dq_parts.append(jax.lax.dot_general(
-            ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ))
-        dk_parts.append(jax.lax.dot_general(
-            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ))
+    nc, n_chunks = _attn_chunks(nc, tb)
+    rq, rk = nc * s_q, nc * s_k
+    dq_rows, dk_rows, dv_rows = [], [], []
+    for c in range(n_chunks):
+        cbias = bias[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk]
+        ckpos = kpos[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk] if rate > 0.0 else None
+        ctile = tile * n_chunks + c
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(nh):
+            sl = slice(h * hd, (h + 1) * hd)
+            qh = q2[c * rq:(c + 1) * rq, sl]
+            kh = k2[c * rk:(c + 1) * rk, sl]
+            vh = v2[c * rk:(c + 1) * rk, sl]
+            gh = g_ctx[c * rq:(c + 1) * rq, sl].astype(cdtype)
+            s = jax.lax.dot_general(
+                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale + cbias
+            m = jnp.max(s, axis=1, keepdims=True)
+            e = jnp.exp(s - m)
+            z = jnp.sum(e, axis=1, keepdims=True)
+            p = e / z
+            if rate > 0.0:
+                kappa = _dropout_keep_scale(seed, ctile, op_base + h, ckpos, nc, s_q, s_k, rate)
+                pd = p * kappa
+            else:
+                pd = p
+            dv_parts.append(jax.lax.dot_general(
+                pd.astype(cdtype), gh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+            dpd = jax.lax.dot_general(
+                gh, vh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            dp = dpd * kappa if rate > 0.0 else dpd
+            t = jnp.sum(dp * p, axis=1, keepdims=True)
+            ds = (p * (dp - t) * scale).astype(cdtype)
+            dq_parts.append(jax.lax.dot_general(
+                ds, kh, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+            dk_parts.append(jax.lax.dot_general(
+                ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ))
+        dq_rows.append(jnp.concatenate(dq_parts, axis=1))
+        dk_rows.append(jnp.concatenate(dk_parts, axis=1))
+        dv_rows.append(jnp.concatenate(dv_parts, axis=1))
+    if n_chunks == 1:
+        return dq_rows[0], dk_rows[0], dv_rows[0]
     return (
-        jnp.concatenate(dq_parts, axis=1),
-        jnp.concatenate(dk_parts, axis=1),
-        jnp.concatenate(dv_parts, axis=1),
+        jnp.concatenate(dq_rows, axis=0),
+        jnp.concatenate(dk_rows, axis=0),
+        jnp.concatenate(dv_rows, axis=0),
     )
 
 
@@ -275,7 +316,7 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
     res["qkv_c"] = qkv_c
     q2, k2, v2 = qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:]
     ctx = _attn_fwd_tile(q2, k2, v2, sbias, skpos, seed, tile, 0,
-                         nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype)
+                         nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype, g.attn_chunk)
     ctx_c = ctx.astype(cdtype)
     res["ctx_c"] = ctx_c
     a1 = _mm(ctx_c, W["wo"]) + W["bo"]
@@ -296,7 +337,8 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
         res["qc"], res["kvc"] = qc, kvc
         kc, vc = kvc[:, :H], kvc[:, H:]
         ctx2 = _attn_fwd_tile(qc, kc, vc, cbias, ckpos, seed, tile, nh + 1,
-                              nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype)
+                              nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
+                              g.attn_chunk)
         ctx2_c = ctx2.astype(cdtype)
         res["ctx2_c"] = ctx2_c
         a2 = _mm(ctx2_c, W["wco"]) + W["bco"]
@@ -450,6 +492,7 @@ def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
         dqc, dkc, dvc = _attn_bwd_tile(
             res["qc"], kvc[:, :H], kvc[:, H:], cbias, ckpos, seed, tile,
             nh + 1, dctx2, nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
+            g.attn_chunk,
         )
         dqc_c = dqc.astype(cdtype)
         _acc(dw_refs["wq"], _mm_tn(res["x1"], dqc_c))
@@ -477,6 +520,7 @@ def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
     dq, dk, dv = _attn_bwd_tile(
         qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:], sbias, skpos,
         seed, tile, 0, dctx, nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype,
+        g.attn_chunk,
     )
     dqkv = jnp.concatenate([dq, dk, dv], axis=1)
     dqkv_c = dqkv.astype(cdtype)

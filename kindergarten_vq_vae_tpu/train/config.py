@@ -107,6 +107,7 @@ class ModelConfig:
     fused_layer: str = "auto"            # "auto" | "on" | "off"
     layer_block_b_fwd: int = 64          # sentences per fused-layer fwd tile
     layer_block_b_bwd: int = 16          # sentences per fused-layer bwd tile
+    layer_attn_chunk: int = 32           # sentences per attention sub-chunk
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     # dead-code revival (new capability; counters the index collapse a

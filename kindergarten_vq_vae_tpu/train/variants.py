@@ -72,6 +72,7 @@ def bert_configs(cfg: RunConfig, mesh=None):
         fused_layer=_resolve_auto_flag(m.fused_layer, mesh),
         layer_block_b_fwd=m.layer_block_b_fwd,
         layer_block_b_bwd=m.layer_block_b_bwd,
+        layer_attn_chunk=m.layer_attn_chunk,
         dtype=_DTYPES[m.compute_dtype],
     )
     enc = BertConfig(add_pooler=True, **common)

@@ -13,9 +13,12 @@ flags, and the remote-compile terminal overrides the env anyway
 
 from __future__ import annotations
 
+import os
+
 import jax
 
-SCOPED_VMEM_KIB = 115_000  # ~112 MiB; v5e VMEM is 128 MiB total. Under lax.scan
+SCOPED_VMEM_KIB = int(os.environ.get("KVT_SCOPED_VMEM_KIB", "115000"))
+# ~112 MiB default; v5e VMEM is 128 MiB total. Under lax.scan
 # the fused-layer custom calls are wrapped in kCustom fusions governed by
 # THIS limit (the per-kernel pallas vmem_limit_bytes is not consulted), and
 # the backward kernel at TB=16 needs ~70-100 MiB.

@@ -8,6 +8,7 @@ chained steps, one final materialization (CLAUDE.md tunnel methodology).
 """
 
 import argparse
+import dataclasses
 import functools
 import os
 import sys
@@ -42,6 +43,8 @@ def main():
     ap.add_argument("--tbf", type=int, default=64)
     ap.add_argument("--tbb", type=int, default=16)
     ap.add_argument("--skip-off", action="store_true")
+    ap.add_argument("--sweep", default="",
+                    help="comma list of tbf:tbb[:chunk] combos to time after the main run")
     args = ap.parse_args()
 
     from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
@@ -66,13 +69,16 @@ def main():
         k1, k2, k3 = jax.random.split(key, 3)
         return {"dropout": k1, "gumbel": k2, "perturb": k3}
 
-    def measure(fused: str, label: str):
+    def measure(fused: str, label: str, tbf=None, tbb=None, chunk=None):
+        model = ModelConfig(
+            model_name="shelgon3", compute_dtype="bfloat16",
+            vq_use_fused=True, fused_layer=fused,
+            layer_block_b_fwd=tbf or args.tbf, layer_block_b_bwd=tbb or args.tbb,
+        )
+        if chunk is not None:
+            model = dataclasses.replace(model, layer_attn_chunk=chunk)
         cfg = RunConfig(
-            model=ModelConfig(
-                model_name="shelgon3", compute_dtype="bfloat16",
-                vq_use_fused=True, fused_layer=fused,
-                layer_block_b_fwd=args.tbf, layer_block_b_bwd=args.tbb,
-            ),
+            model=model,
             data=DataConfig(batch_size=B, tokenized_sentence_max_length=S),
         )
         params = init_params(cfg, jax.random.key(0))
@@ -101,6 +107,12 @@ def main():
     if not args.skip_off:
         t_off = measure("off", "fused_layer OFF (fused-SDPA path)")
         print(f"speedup: {t_off / t_on:.2f}x", flush=True)
+    for combo in [c for c in args.sweep.split(",") if c]:
+        parts = combo.split(":")
+        tbf, tbb = int(parts[0]), int(parts[1])
+        chunk = int(parts[2]) if len(parts) > 2 else None
+        measure("on", f"fused_layer ON  (tbf={tbf} tbb={tbb} chunk={chunk})",
+                tbf=tbf, tbb=tbb, chunk=chunk)
 
 
 if __name__ == "__main__":

@@ -171,6 +171,39 @@ def test_dropout_determinism_and_stats():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.parametrize("decoder", [False, True])
+def test_attn_chunking_parity(decoder):
+    """attn_chunk splits the packed attention into diagonal sub-blocks; the
+    result (and the dropout stream — the chunk-local tile index reproduces
+    the same global row hash) must be bit-identical to the unchunked tile."""
+    cfg, layer, x, enc, mask, params = _setup(decoder, B=8)
+    ws = _weights_from_params(params, decoder)
+    s_k = enc.shape[1] if decoder else x.shape[1]
+    base = _geom(cfg, x.shape[1], s_k, attn_rate=0.1, hid_rate=0.1, tbf=8, tbb=8)
+    g_unchunked = dataclasses.replace(base, attn_chunk=8)
+    g_chunked = dataclasses.replace(base, attn_chunk=2)
+    seed = jnp.asarray([77], jnp.int32)
+    o_ref = fused_bert_layer(g_unchunked, x, enc, mask, None, seed, None, *ws)
+    o_chk = fused_bert_layer(g_chunked, x, enc, mask, None, seed, None, *ws)
+    # tolerance is summation-order noise only: a single flipped dropout bit
+    # would produce O(1) differences, so this still pins the hash stream
+    np.testing.assert_allclose(np.asarray(o_chk), np.asarray(o_ref), atol=1e-5, rtol=1e-5)
+
+    def loss(g):
+        def f(ws_):
+            return jnp.sum(fused_bert_layer(g, x, enc, mask, None, seed, None, *ws_) ** 2)
+        return jax.grad(f)(ws)
+
+    for a, b in zip(loss(g_unchunked), loss(g_chunked)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4)
+
+    # and against the oracle with dropout off
+    det = dataclasses.replace(base, attn_rate=0.0, hid_rate=0.0, attn_chunk=2)
+    ref, _, _ = layer.apply({"params": params}, x, mask, enc, None, True, False)
+    out = fused_bert_layer(det, x, enc, mask, None, seed, None, *ws)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
 def test_bert_base_geometry_smoke():
     """Full bert-base head/hidden geometry through both kernels (interpret)."""
     rng = np.random.default_rng(3)
