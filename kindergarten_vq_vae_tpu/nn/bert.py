@@ -363,10 +363,21 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
     compile time explodes."""
     from kindergarten_vq_vae_tpu.ops.layer_pallas import LayerGeom, fused_bert_layer
 
+    from kindergarten_vq_vae_tpu.ops.layer_pallas import DEC_WEIGHTS, ENC_WEIGHTS
+
     has_cross = cfg.add_cross_attention and encoder_hidden_states is not None
     per_layer = [
         _LayerParams(cfg, has_cross, name=f"layer_{i}")()
         for i in range(cfg.num_layers)
+    ]
+    # cast matmul kernels to the compute dtype BEFORE stacking/scanning:
+    # otherwise the scan body's per-layer dynamic slices materialize f32
+    # weight blocks in VMEM (double the footprint) before the in-kernel cast
+    names = DEC_WEIGHTS if has_cross else ENC_WEIGHTS
+    per_layer = [
+        tuple(w.astype(cfg.dtype) if n.startswith("w") else w
+              for n, w in zip(names, ws))
+        for ws in per_layer
     ]
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
 

@@ -93,6 +93,20 @@ class LayerGeom:
     # MXU tile (32*12=384) or the padding eats the gain. Projections keep the
     # full tile's rows.
     attn_chunk: int = 32
+    # True: the fwd (training) kernel streams the matmul outputs (qkv, ctx,
+    # x1/x2, u, LN stats) to HBM and the bwd kernel reads them back instead
+    # of recomputing the forward per tile. MEASURED SLOWER at bert-base
+    # (321 vs 240 ms/step): the ~10 GB/step residual round-trip and the extra
+    # per-tile output streams cost more than the ~4 TF of recompute they
+    # save — on TPU, FLOPs are cheaper than bytes. Default False = full
+    # per-tile recompute, nothing but x/gy/weights touches HBM in backward.
+    save_residuals: bool = False
+    # With save_residuals, run the backward as plain XLA ops + standalone
+    # attention kernels instead of the monolithic bwd kernel. MEASURED SLOWER
+    # at bert-base (333 vs 240 ms/step): every intermediate round-trips HBM,
+    # recreating the memory-bound behavior the fused kernel exists to avoid.
+    # Kept as a fallback for geometries that exceed the bwd kernel's VMEM.
+    xla_bwd: bool = False
 
     @property
     def hidden(self) -> int:
@@ -373,7 +387,30 @@ def _weights_dict(geom, refs):
     return {n: r[:] for n, r in zip(names, refs)}
 
 
-def _layer_fwd_kernel(geom: LayerGeom, seed_ref, *refs):
+def _res_layout(geom: LayerGeom):
+    """(name, sentence-len, width, kind) of each saved residual, in the
+    fwd-output / bwd-input contract order. kind 'c' = compute dtype,
+    'f32' = float32. 'invs' packs the up-to-3 per-row LN rsqrt stats into
+    lanes 0/1/2 of a 128-lane f32 row (a (rows, 1) output would round up to
+    a full lane tile anyway)."""
+    H, F = geom.hidden, geom.intermediate
+    out = [
+        ("qkv_c", geom.s_q, 3 * H, "c"),
+        ("ctx_c", geom.s_q, H, "c"),
+        ("x1", geom.s_q, H, "c"),
+    ]
+    if geom.has_cross:
+        out += [
+            ("qc", geom.s_q, H, "c"),
+            ("kvc", geom.s_k, 2 * H, "c"),
+            ("ctx2_c", geom.s_q, H, "c"),
+            ("x2", geom.s_q, H, "c"),
+        ]
+    out += [("u_c", geom.s_q, F, "c"), ("invs", geom.s_q, 128, "f32")]
+    return out
+
+
+def _layer_fwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
     g = geom
     tb = g.block_b_fwd
     rows = tb * g.s_q
@@ -388,7 +425,8 @@ def _layer_fwd_kernel(geom: LayerGeom, seed_ref, *refs):
         cmask_ref = refs[pos]; pos += 1
     n_w = len(DEC_WEIGHTS if g.has_cross else ENC_WEIGHTS)
     w_refs = refs[pos:pos + n_w]; pos += n_w
-    out_ref = refs[pos]
+    out_ref = refs[pos]; pos += 1
+    res_refs = refs[pos:] if save else ()
 
     W = _weights_dict(g, w_refs)
     x = x_ref[:].reshape(rows, g.hidden)
@@ -401,10 +439,19 @@ def _layer_fwd_kernel(geom: LayerGeom, seed_ref, *refs):
         cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
         cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
 
-    out, _ = _layer_fwd_core(
+    out, res = _layer_fwd_core(
         g, tb, seed_ref[0], pl.program_id(0), x, enc, sbias, cbias, skpos, ckpos, W
     )
     out_ref[:] = out.reshape(tb, g.s_q, g.hidden).astype(out_ref.dtype)
+    if save:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
+        invs = jnp.where(lane == 0, res["inv1"], 0.0)
+        if g.has_cross:
+            invs = invs + jnp.where(lane == 1, res["inv2"], 0.0)
+        invs = invs + jnp.where(lane == 2, res["inv3"], 0.0)
+        res["invs"] = invs
+        for (name, s_dim, width, _), ref in zip(_res_layout(g), res_refs):
+            ref[:] = res[name].reshape(tb, s_dim, width).astype(ref.dtype)
 
 
 def _acc(ref, val):
@@ -420,7 +467,17 @@ def _acc(ref, val):
         ref[:] = ref[:] + val.astype(ref.dtype)
 
 
-def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
+def _ln_recover_yhat(v, gamma, beta):
+    """Invert the stored post-LN output back to its normalized value.
+    v was (yhat*gamma + beta) cast to compute dtype, so in bf16 the recovery
+    carries one cast of rounding noise — negligible against LN-grad scale.
+    gamma==0 lanes are unrecoverable (and contribute dyhat=0 anyway): map
+    them to 0 instead of inf."""
+    g32 = gamma.astype(jnp.float32)
+    return jnp.where(g32 == 0.0, 0.0, (v.astype(jnp.float32) - beta) / g32)
+
+
+def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
     g = geom
     tb = g.block_b_bwd
     rows = tb * g.s_q
@@ -437,6 +494,12 @@ def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
     if g.has_cross:
         cmask_ref = refs[pos]; pos += 1
     gy_ref = refs[pos]; pos += 1
+    out_ref = None
+    res_refs = ()
+    if save:
+        out_ref = refs[pos]; pos += 1
+        n_res = len(_res_layout(g))
+        res_refs = refs[pos:pos + n_res]; pos += n_res
     w_refs = refs[pos:pos + len(names)]; pos += len(names)
     dx_ref = refs[pos]; pos += 1
     denc_ref = None
@@ -457,8 +520,31 @@ def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
         cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
         cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
 
-    # recompute the forward, keeping residuals in VMEM
-    _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias, skpos, ckpos, W)
+    if save:
+        # rebuild the residual dict from the streamed fwd outputs — no
+        # recompute matmuls; only VPU-cheap values (gelu, dropout masks,
+        # yhat recovery) are rematerialized
+        res = {}
+        for (name, s_dim, width, _), ref in zip(_res_layout(g), res_refs):
+            res[name] = ref[:].reshape(tb * s_dim, width)
+        invs = res.pop("invs")
+        res["inv1"], res["inv3"] = invs[:, 0:1], invs[:, 2:3]
+        res["yhat1"] = _ln_recover_yhat(res["x1"], W["g1"], W["be1"])
+        if g.has_cross:
+            res["inv2"] = invs[:, 1:2]
+            res["yhat2"] = _ln_recover_yhat(res["x2"], W["g2"], W["be2"])
+        res["yhat3"] = _ln_recover_yhat(
+            out_ref[:].reshape(rows, H), W["g3"], W["be3"]
+        )
+        res["m_c"] = _gelu_fwd(res["u_c"].astype(jnp.float32), g.gelu_exact).astype(cdtype)
+        if g.hid_rate > 0.0:
+            res["k1"] = _keep_2d(seed, tile, 1000, rows, H, g.hid_rate)
+            if g.has_cross:
+                res["k2"] = _keep_2d(seed, tile, 1001, rows, H, g.hid_rate)
+            res["k3"] = _keep_2d(seed, tile, 1002, rows, H, g.hid_rate)
+    else:
+        # recompute the forward, keeping residuals in VMEM
+        _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias, skpos, ckpos, W)
 
     gy = gy_ref[:].reshape(rows, H).astype(jnp.float32)
 
@@ -530,6 +616,104 @@ def _layer_bwd_kernel(geom: LayerGeom, seed_ref, *refs):
     dx_ref[:] = dx.reshape(tb, g.s_q, H).astype(dx_ref.dtype)
 
 
+def _attn_bwd_self_kernel(geom: LayerGeom, tb, seed_ref, qkv_ref, mask_ref,
+                          g_ref, dqkv_ref):
+    g = geom
+    rows = tb * g.s_q
+    H = g.hidden
+    qkv = qkv_ref[:].reshape(rows, 3 * H)
+    gc = g_ref[:].reshape(rows, H).astype(jnp.float32)
+    qpos, kpos = _tile_geometry(tb, g.s_q, g.s_q)
+    bias = _tile_bias(mask_ref, qpos, kpos, tb, g.s_q, g.s_q, g.causal)
+    dq, dk, dv = _attn_bwd_tile(
+        qkv[:, :H], qkv[:, H:2 * H], qkv[:, 2 * H:], bias, kpos,
+        seed_ref[0], pl.program_id(0), 0, gc, g.num_heads, g.head_dim,
+        tb, g.s_q, g.s_q, g.attn_rate, qkv.dtype, g.attn_chunk,
+    )
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+    dqkv_ref[:] = dqkv.reshape(tb, g.s_q, 3 * H).astype(dqkv_ref.dtype)
+
+
+def _attn_bwd_cross_kernel(geom: LayerGeom, tb, seed_ref, q_ref, kv_ref,
+                           mask_ref, g_ref, dq_ref, dkv_ref):
+    g = geom
+    rows = tb * g.s_q
+    H = g.hidden
+    q = q_ref[:].reshape(rows, H)
+    kv = kv_ref[:].reshape(tb * g.s_k, 2 * H)
+    gc = g_ref[:].reshape(rows, H).astype(jnp.float32)
+    qpos, kpos = _tile_geometry(tb, g.s_q, g.s_k)
+    bias = _tile_bias(mask_ref, qpos, kpos, tb, g.s_q, g.s_k, False)
+    dq, dk, dv = _attn_bwd_tile(
+        q, kv[:, :H], kv[:, H:], bias, kpos,
+        seed_ref[0], pl.program_id(0), g.num_heads + 1, gc, g.num_heads,
+        g.head_dim, tb, g.s_q, g.s_k, g.attn_rate, q.dtype, g.attn_chunk,
+    )
+    dq_ref[:] = dq.reshape(tb, g.s_q, H).astype(dq_ref.dtype)
+    dkv = jnp.concatenate([dk, dv], axis=1)
+    dkv_ref[:] = dkv.reshape(tb, g.s_k, 2 * H).astype(dkv_ref.dtype)
+
+
+def _attn_bwd_call(geom, cross: bool, qkv_or_q, kv, mask, seed, g_ctx, interpret):
+    """Standalone block-diagonal attention backward over sentence tiles.
+    Recomputes the probs from the saved projections; no weights in VMEM, so
+    the fwd tile size is fine. The in-kernel dropout hash uses absolute row
+    ids, so any tile/chunk split reproduces the fwd kernel's stream."""
+    interpret = _resolve_interpret(interpret)
+    b = qkv_or_q.shape[0]
+    tb = min(geom.block_b_fwd, b)
+    b_pad = ((b + tb - 1) // tb) * tb
+    grid = b_pad // tb
+    s_q, s_k, H = geom.s_q, geom.s_k if cross else geom.s_q, geom.hidden
+    cdtype = qkv_or_q.dtype
+
+    m = _pad_mask(mask, b_pad).astype(jnp.int32).reshape(grid, 1, tb * s_k)
+    mspec = pl.BlockSpec((1, 1, tb * s_k), lambda i, seed: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gspec = pl.BlockSpec((tb, s_q, H), lambda i, seed: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    gp = _pad_rows(g_ctx.astype(cdtype), b_pad)
+    kwargs = dict(
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+    )
+    if cross:
+        qspec = gspec
+        kvspec = pl.BlockSpec((tb, s_k, 2 * H), lambda i, seed: (i, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dq, dkv = pl.pallas_call(
+            functools.partial(_attn_bwd_cross_kernel, geom, tb),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(grid,),
+                in_specs=[qspec, kvspec, mspec, gspec],
+                out_specs=[qspec, kvspec],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((b_pad, s_q, H), cdtype),
+                jax.ShapeDtypeStruct((b_pad, s_k, 2 * H), cdtype),
+            ],
+            **kwargs,
+        )(seed, _pad_rows(qkv_or_q, b_pad), _pad_rows(kv, b_pad), m, gp)
+        return dq[:b], dkv[:b]
+    qkvspec = pl.BlockSpec((tb, s_q, 3 * H), lambda i, seed: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    dqkv = pl.pallas_call(
+        functools.partial(_attn_bwd_self_kernel, geom, tb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[qkvspec, mspec, gspec],
+            out_specs=qkvspec,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b_pad, s_q, 3 * H), cdtype),
+        **kwargs,
+    )(seed, _pad_rows(qkv_or_q, b_pad), m, gp)
+    return dqkv[:b]
+
+
 # ---------------------------------------------------------------------------
 # host-side wrappers
 
@@ -579,7 +763,7 @@ def _flop_estimate(geom, rows_total, backward):
     return fwd * (3 if backward else 1)
 
 
-def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret):
+def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save=False):
     interpret = _resolve_interpret(interpret)
     b, s_q, H = x.shape
     tb = min(geom.block_b_fwd, b)
@@ -610,15 +794,24 @@ def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret):
     inputs.extend(ws)
     especs.extend(_wspecs(ws))
 
-    out = pl.pallas_call(
-        functools.partial(_layer_fwd_kernel, geom),
+    out_shapes = [jax.ShapeDtypeStruct((b_pad, s_q, H), cdtype)]
+    out_specs = [xspec]
+    if save:
+        for name, s_dim, width, kind in _res_layout(geom):
+            dt = cdtype if kind == "c" else jnp.float32
+            out_shapes.append(jax.ShapeDtypeStruct((b_pad, s_dim, width), dt))
+            out_specs.append(pl.BlockSpec((tb, s_dim, width), lambda i, seed: (i, 0, 0),
+                                          memory_space=pltpu.VMEM))
+
+    outs = pl.pallas_call(
+        functools.partial(_layer_fwd_kernel, geom, save),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=especs,
-            out_specs=xspec,
+            out_specs=out_specs if save else out_specs[0],
         ),
-        out_shape=jax.ShapeDtypeStruct((b_pad, s_q, H), cdtype),
+        out_shape=out_shapes if save else out_shapes[0],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -629,11 +822,15 @@ def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret):
             transcendentals=b_pad * s_q * (geom.intermediate + tb * s_q * geom.num_heads),
         ),
     )(seed, *inputs)
-    return out[:b]
+    if save:
+        return outs[0][:b], tuple(outs[1:])
+    return outs[:b]
 
 
-def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret):
+def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret,
+                    out=None, res=None):
     interpret = _resolve_interpret(interpret)
+    save = res is not None
     b, s_q, H = x.shape
     tb = min(geom.block_b_bwd, b)
     geom = dataclasses.replace(geom, block_b_bwd=tb)
@@ -662,6 +859,17 @@ def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret):
                                    memory_space=pltpu.VMEM))
     inputs.append(gp)
     especs.append(xspec)
+    if save:
+        def fit(a):
+            # fwd may have padded with a different tile size
+            return a if a.shape[0] == b_pad else _pad_rows(a[:b], b_pad)
+
+        inputs.append(fit(out.astype(cdtype)))
+        especs.append(xspec)
+        for (name, s_dim, width, _), r in zip(_res_layout(geom), res):
+            inputs.append(fit(r))
+            especs.append(pl.BlockSpec((tb, s_dim, width), lambda i, seed: (i, 0, 0),
+                                       memory_space=pltpu.VMEM))
     ws = _prep_weights(geom, weights, cdtype)
     inputs.extend(ws)
     especs.extend(_wspecs(ws))
@@ -675,12 +883,17 @@ def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret):
         out_specs.append(pl.BlockSpec((tb, geom.s_k, H), lambda i, seed: (i, 0, 0),
                                       memory_space=pltpu.VMEM))
     for n, w in zip(names, ws):
-        out_shapes.append(jax.ShapeDtypeStruct(w.shape, jnp.float32))
+        # dW accumulators live in VMEM for the whole grid; matmul-kernel
+        # accums use the prepped weight dtype (compute dtype — their VJP
+        # cotangent is rounded to it anyway since the trunk casts weights
+        # pre-scan), halving the dominant VMEM cost in bf16 runs. LN/bias
+        # accums are f32 (tiny).
+        out_shapes.append(jax.ShapeDtypeStruct(w.shape, w.dtype))
         out_specs.append(pl.BlockSpec(w.shape, lambda i, seed, nd=w.ndim: (0,) * nd,
                                       memory_space=pltpu.VMEM))
 
     outs = pl.pallas_call(
-        functools.partial(_layer_bwd_kernel, geom),
+        functools.partial(_layer_bwd_kernel, geom, save),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -690,7 +903,9 @@ def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret):
         out_shape=out_shapes,
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
+            # the dW accumulators (+ weights) dominate the bwd kernel's Mosaic
+            # stack; give it the whole chip VMEM minus a small margin
+            vmem_limit_bytes=127 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=_flop_estimate(geom, b_pad * s_q, True),
@@ -715,13 +930,130 @@ def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret):
     return dx, denc, tuple(dws)
 
 
+def _layer_backward_xla(geom, x, enc, smask, cmask, seed, weights, gy, out, res,
+                        interpret):
+    """Backward from saved fwd residuals, as plain XLA ops + the standalone
+    attention-bwd kernels. Everything here is a large packed-rows dense op
+    ((B*S, H) LayerNorm/gelu grads, (B*S, H)x(H, N) dgrads, (H, B*S)x(B*S, N)
+    wgrads) that XLA schedules at near-peak MXU — only the tiny-seq
+    block-diagonal attention needs Pallas. This also removes the monolithic
+    bwd kernel's dW-accumulator VMEM wall (37.8 MB f32 at bert-base)."""
+    g = geom
+    b, s_q, H = x.shape
+    rows = b * s_q
+    cdtype = x.dtype
+    names = DEC_WEIGHTS if g.has_cross else ENC_WEIGHTS
+    W = dict(zip(names, _prep_weights(g, weights, cdtype)))
+    seed_s, tile0 = seed[0], jnp.uint32(0)
+
+    R = {}
+    for (name, s_dim, width, _), r in zip(_res_layout(g), res):
+        R[name] = r[:b].reshape(b * s_dim, width)
+    invs = R.pop("invs")
+    inv1, inv3 = invs[:, 0:1], invs[:, 2:3]
+    yhat1 = _ln_recover_yhat(R["x1"], W["g1"], W["be1"])
+    if g.has_cross:
+        inv2 = invs[:, 1:2]
+        yhat2 = _ln_recover_yhat(R["x2"], W["g2"], W["be2"])
+    yhat3 = _ln_recover_yhat(out[:b].reshape(rows, H), W["g3"], W["be3"])
+    u = R["u_c"].astype(jnp.float32)
+    m_c = _gelu_fwd(u, g.gelu_exact).astype(cdtype)
+
+    x2d = x.reshape(rows, H)
+    gy2 = gy.reshape(rows, H).astype(jnp.float32)
+    dW = {}
+
+    # ---- MLP block backward
+    dW["g3"] = jnp.sum(gy2 * yhat3, axis=0, keepdims=True)
+    dW["be3"] = jnp.sum(gy2, axis=0, keepdims=True)
+    dr3 = _ln_bwd(gy2, yhat3, inv3, W["g3"])
+    if g.hid_rate > 0.0:
+        k3 = _keep_2d(seed_s, tile0, 1002, rows, H, g.hid_rate)
+        dy = dr3 * k3
+    else:
+        dy = dr3
+    dy_c = dy.astype(cdtype)
+    dW["w2"] = _mm_tn(m_c, dy_c)
+    dW["b2"] = jnp.sum(dy, axis=0, keepdims=True)
+    dm = _mm_nt(dy_c, W["w2"])
+    du = dm * _gelu_grad(u, g.gelu_exact)
+    du_c = du.astype(cdtype)
+    xm = R["x2"] if g.has_cross else R["x1"]
+    dW["w1"] = _mm_tn(xm, du_c)
+    dW["b1"] = jnp.sum(du, axis=0, keepdims=True)
+    dxm = dr3 + _mm_nt(du_c, W["w1"])
+
+    # ---- cross-attention block backward (decoder)
+    if g.has_cross:
+        dW["g2"] = jnp.sum(dxm * yhat2, axis=0, keepdims=True)
+        dW["be2"] = jnp.sum(dxm, axis=0, keepdims=True)
+        dr2 = _ln_bwd(dxm, yhat2, inv2, W["g2"])
+        if g.hid_rate > 0.0:
+            k2 = _keep_2d(seed_s, tile0, 1001, rows, H, g.hid_rate)
+            da2 = dr2 * k2
+        else:
+            da2 = dr2
+        da2_c = da2.astype(cdtype)
+        dW["wco"] = _mm_tn(R["ctx2_c"], da2_c)
+        dW["bco"] = jnp.sum(da2, axis=0, keepdims=True)
+        dctx2 = _mm_nt(da2_c, W["wco"])
+        dqc, dkvc = _attn_bwd_call(
+            g, True, R["qc"].reshape(b, s_q, H), R["kvc"].reshape(b, g.s_k, 2 * H),
+            cmask, seed, dctx2.reshape(b, s_q, H), interpret,
+        )
+        dqc_c = dqc.reshape(rows, H)
+        dkv_c = dkvc.reshape(b * g.s_k, 2 * H)
+        dW["wq"] = _mm_tn(R["x1"], dqc_c)
+        dW["bq"] = jnp.sum(dqc_c.astype(jnp.float32), axis=0, keepdims=True)
+        enc2d = enc.astype(cdtype).reshape(b * g.s_k, H)
+        dW["wkv"] = _mm_tn(enc2d, dkv_c)
+        dW["bkv"] = jnp.sum(dkv_c.astype(jnp.float32), axis=0, keepdims=True)
+        denc = _mm_nt(dkv_c, W["wkv"]).reshape(b, g.s_k, H).astype(enc.dtype)
+        dx1 = dr2 + _mm_nt(dqc_c, W["wq"])
+    else:
+        denc = None
+        dx1 = dxm
+
+    # ---- self-attention block backward
+    dW["g1"] = jnp.sum(dx1 * yhat1, axis=0, keepdims=True)
+    dW["be1"] = jnp.sum(dx1, axis=0, keepdims=True)
+    dr1 = _ln_bwd(dx1, yhat1, inv1, W["g1"])
+    if g.hid_rate > 0.0:
+        k1 = _keep_2d(seed_s, tile0, 1000, rows, H, g.hid_rate)
+        da1 = dr1 * k1
+    else:
+        da1 = dr1
+    da1_c = da1.astype(cdtype)
+    dW["wo"] = _mm_tn(R["ctx_c"], da1_c)
+    dW["bo"] = jnp.sum(da1, axis=0, keepdims=True)
+    dctx = _mm_nt(da1_c, W["wo"])
+    dqkv = _attn_bwd_call(
+        g, False, R["qkv_c"].reshape(b, s_q, 3 * H), None,
+        smask, seed, dctx.reshape(b, s_q, H), interpret,
+    )
+    dqkv_c = dqkv.reshape(rows, 3 * H)
+    dW["wqkv"] = _mm_tn(x2d, dqkv_c)
+    dW["bqkv"] = jnp.sum(dqkv_c.astype(jnp.float32), axis=0, keepdims=True)
+    dx = (dr1 + _mm_nt(dqkv_c, W["wqkv"])).reshape(b, s_q, H).astype(x.dtype)
+
+    dws = []
+    for n, w in zip(names, weights):
+        d = dW[n]
+        if w.ndim == 1:
+            d = d.reshape(-1)
+        dws.append(d.astype(w.dtype))
+    return dx, denc, tuple(dws)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 6))
 def fused_bert_layer(geom: LayerGeom, x, enc, smask, cmask, seed, interpret, *weights):
     """One whole post-LN BERT layer, fused. x (B,S,H); enc (B,S_k,H) or None;
     smask/cmask (B,S)/(B,S_k) key-validity ints or None; seed (1,) int32 for
     the in-kernel hash dropout (set rates to 0 in geom when deterministic).
     ``weights`` follow ENC_WEIGHTS/DEC_WEIGHTS order; grads flow to x, enc
-    and every weight."""
+    and every weight. Under differentiation with geom.save_residuals the fwd
+    kernel streams its matmul outputs to HBM for the bwd kernel (the plain
+    call never pays that traffic)."""
     if smask is None:
         smask = jnp.ones((x.shape[0], x.shape[1]), jnp.int32)
     if geom.has_cross and cmask is None:
@@ -730,17 +1062,33 @@ def fused_bert_layer(geom: LayerGeom, x, enc, smask, cmask, seed, interpret, *we
 
 
 def _fbl_fwd(geom, x, enc, smask, cmask, seed, interpret, *weights):
-    out = fused_bert_layer(geom, x, enc, smask, cmask, seed, interpret, *weights)
-    return out, (x, enc, smask, cmask, seed, weights)
+    smask_ = smask
+    if smask_ is None:
+        smask_ = jnp.ones((x.shape[0], x.shape[1]), jnp.int32)
+    cmask_ = cmask
+    if geom.has_cross and cmask_ is None:
+        cmask_ = jnp.ones((x.shape[0], geom.s_k), jnp.int32)
+    if geom.save_residuals:
+        out, res = _layer_forward(geom, x, enc, smask_, cmask_, seed, weights,
+                                  interpret, save=True)
+    else:
+        out = _layer_forward(geom, x, enc, smask_, cmask_, seed, weights, interpret)
+        res = None
+    return out, (x, enc, smask, cmask, seed, weights, res, out if geom.save_residuals else None)
 
 
-def _fbl_bwd(geom, interpret, res, gy):
-    x, enc, smask, cmask, seed, weights = res
+def _fbl_bwd(geom, interpret, saved, gy):
+    x, enc, smask, cmask, seed, weights, res, out = saved
     if smask is None:
         smask = jnp.ones((x.shape[0], x.shape[1]), jnp.int32)
     if geom.has_cross and cmask is None:
         cmask = jnp.ones((x.shape[0], geom.s_k), jnp.int32)
-    dx, denc, dws = _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret)
+    if geom.save_residuals and geom.xla_bwd:
+        dx, denc, dws = _layer_backward_xla(geom, x, enc, smask, cmask, seed,
+                                            weights, gy, out, res, interpret)
+    else:
+        dx, denc, dws = _layer_backward(geom, x, enc, smask, cmask, seed, weights,
+                                        gy, interpret, out=out, res=res)
     return (dx, denc, None, None, None) + dws
 
 

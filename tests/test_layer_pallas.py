@@ -92,10 +92,15 @@ def test_value_parity(decoder):
 
 
 @pytest.mark.parametrize("decoder", [False, True])
-def test_full_gradient_parity(decoder):
-    """Grads wrt x, enc AND every weight must match the flax oracle."""
+@pytest.mark.parametrize("mode", ["save", "recompute", "xla"])
+def test_full_gradient_parity(decoder, mode):
+    """Grads wrt x, enc AND every weight must match the flax oracle — in all
+    three backward modes (streamed-residual kernel, full per-tile recompute
+    kernel, and the XLA-chain fallback)."""
     cfg, layer, x, enc, mask, params = _setup(decoder, B=4)
     geom = _geom(cfg, x.shape[1], enc.shape[1] if decoder else x.shape[1])
+    geom = dataclasses.replace(geom, save_residuals=mode != "recompute",
+                               xla_bwd=mode == "xla")
     rng = np.random.default_rng(7)
     cot = jnp.asarray(rng.normal(size=x.shape), jnp.float32)
 
