@@ -65,8 +65,8 @@ class BertConfig:
     # unfused path when attention probabilities are requested.
     fused_layer: bool = False
     layer_block_b_fwd: int = 64  # sentences per fwd tile
-    layer_block_b_bwd: int = 16  # sentences per bwd tile (dW accums in VMEM)
-    layer_attn_chunk: int = 32   # sentences per attention sub-chunk (see LayerGeom)
+    layer_block_b_bwd: int = 32  # sentences per bwd tile (dW accums in VMEM)
+    layer_attn_chunk: int = 8    # sentences per attention sub-chunk (see LayerGeom)
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property

@@ -86,13 +86,13 @@ class LayerGeom:
     eps: float
     gelu_exact: bool
     block_b_fwd: int = 64       # sentences per forward tile
-    block_b_bwd: int = 16       # sentences per backward tile (dW accums live in VMEM)
+    block_b_bwd: int = 32       # sentences per backward tile (dW accums live in VMEM)
     # sentences per attention sub-chunk: the packed score matmul costs
     # O((nc*S)^2) for O(nc*S^2) useful block-diagonal entries, so smaller
     # chunks cut pure waste — but nc*S should stay a multiple of the 128-wide
     # MXU tile (32*12=384) or the padding eats the gain. Projections keep the
     # full tile's rows.
-    attn_chunk: int = 32
+    attn_chunk: int = 8
     # True: the fwd (training) kernel streams the matmul outputs (qkv, ctx,
     # x1/x2, u, LN stats) to HBM and the bwd kernel reads them back instead
     # of recomputing the forward per tile. MEASURED SLOWER at bert-base
@@ -214,22 +214,23 @@ def _attn_chunks(nc, tb):
 
 
 def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
-                   nh, hd, tb, s_q, s_k, rate, cdtype, nc):
+                   nh, hd, tb, s_q, s_k, rate, cdtype, nc, keep_p=False):
     """Block-diagonal attention over packed rows (same math as
     ops/sdpa_pallas._sdpa_fwd_kernel), chunked into nc-sentence diagonal
     blocks so the packed score matmuls waste O(nc) instead of O(tb).
     The chunked dropout hash is bit-identical to the unchunked one (the
     chunk-local tile index reproduces the same global row ids).
-    Returns f32 (rows_q, H) context."""
+    Returns f32 (rows_q, H) context; with keep_p also the pre-dropout
+    probability tiles (indexed [chunk][head]) for reuse in the backward."""
     scale = 1.0 / float(np.sqrt(hd))
     nc, n_chunks = _attn_chunks(nc, tb)
     rq, rk = nc * s_q, nc * s_k
-    chunk_rows = []
+    chunk_rows, pcache = [], []
     for c in range(n_chunks):
         cbias = bias[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk]
         ckpos = kpos[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk] if rate > 0.0 else None
         ctile = tile * n_chunks + c
-        parts = []
+        parts, pch = [], []
         for h in range(nh):
             sl = slice(h * hd, (h + 1) * hd)
             qh = q2[c * rq:(c + 1) * rq, sl]
@@ -242,6 +243,8 @@ def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
             e = jnp.exp(s - m)
             z = jnp.sum(e, axis=1, keepdims=True)
             p = e / z
+            if keep_p:
+                pch.append(p)
             if rate > 0.0:
                 p = p * _dropout_keep_scale(seed, ctile, op_base + h, ckpos, nc, s_q, s_k, rate)
             parts.append(jax.lax.dot_general(
@@ -249,13 +252,16 @@ def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
                 preferred_element_type=jnp.float32,
             ))
         chunk_rows.append(jnp.concatenate(parts, axis=1))
-    return chunk_rows[0] if n_chunks == 1 else jnp.concatenate(chunk_rows, axis=0)
+        pcache.append(pch)
+    ctx = chunk_rows[0] if n_chunks == 1 else jnp.concatenate(chunk_rows, axis=0)
+    return (ctx, pcache) if keep_p else ctx
 
 
 def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
-                   nh, hd, tb, s_q, s_k, rate, cdtype, nc):
-    """Backward of _attn_fwd_tile (recomputes p per chunk/head). g_ctx f32.
-    Returns f32 (dq, dk, dv), each (rows, H)."""
+                   nh, hd, tb, s_q, s_k, rate, cdtype, nc, p_cache=None):
+    """Backward of _attn_fwd_tile. g_ctx f32. Reuses p_cache from a
+    keep_p forward when given (saves the scores matmul + softmax per
+    chunk/head), else recomputes p. Returns f32 (dq, dk, dv), (rows, H)."""
     scale = 1.0 / float(np.sqrt(hd))
     nc, n_chunks = _attn_chunks(nc, tb)
     rq, rk = nc * s_q, nc * s_k
@@ -271,13 +277,16 @@ def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
             kh = k2[c * rk:(c + 1) * rk, sl]
             vh = v2[c * rk:(c + 1) * rk, sl]
             gh = g_ctx[c * rq:(c + 1) * rq, sl].astype(cdtype)
-            s = jax.lax.dot_general(
-                qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale + cbias
-            m = jnp.max(s, axis=1, keepdims=True)
-            e = jnp.exp(s - m)
-            z = jnp.sum(e, axis=1, keepdims=True)
-            p = e / z
+            if p_cache is not None:
+                p = p_cache[c][h]
+            else:
+                s = jax.lax.dot_general(
+                    qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                ) * scale + cbias
+                m = jnp.max(s, axis=1, keepdims=True)
+                e = jnp.exp(s - m)
+                z = jnp.sum(e, axis=1, keepdims=True)
+                p = e / z
             if rate > 0.0:
                 kappa = _dropout_keep_scale(seed, ctile, op_base + h, ckpos, nc, s_q, s_k, rate)
                 pd = p * kappa
@@ -312,7 +321,7 @@ def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
 
 
 def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
-                    skpos, ckpos, W):
+                    skpos, ckpos, W, keep_p=False):
     """Shared forward math (used by fwd kernel, and recomputed in bwd).
 
     x: (rows, H) cdtype; enc: (rows_k, H) cdtype or None. Returns the final
@@ -330,7 +339,10 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
     res["qkv_c"] = qkv_c
     q2, k2, v2 = qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:]
     ctx = _attn_fwd_tile(q2, k2, v2, sbias, skpos, seed, tile, 0,
-                         nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype, g.attn_chunk)
+                         nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype,
+                         g.attn_chunk, keep_p)
+    if keep_p:
+        ctx, res["p_self"] = ctx
     ctx_c = ctx.astype(cdtype)
     res["ctx_c"] = ctx_c
     a1 = _mm(ctx_c, W["wo"]) + W["bo"]
@@ -352,7 +364,9 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
         kc, vc = kvc[:, :H], kvc[:, H:]
         ctx2 = _attn_fwd_tile(qc, kc, vc, cbias, ckpos, seed, tile, nh + 1,
                               nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
-                              g.attn_chunk)
+                              g.attn_chunk, keep_p)
+        if keep_p:
+            ctx2, res["p_cross"] = ctx2
         ctx2_c = ctx2.astype(cdtype)
         res["ctx2_c"] = ctx2_c
         a2 = _mm(ctx2_c, W["wco"]) + W["bco"]
@@ -543,8 +557,10 @@ def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
                 res["k2"] = _keep_2d(seed, tile, 1001, rows, H, g.hid_rate)
             res["k3"] = _keep_2d(seed, tile, 1002, rows, H, g.hid_rate)
     else:
-        # recompute the forward, keeping residuals in VMEM
-        _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias, skpos, ckpos, W)
+        # recompute the forward, keeping residuals (incl. the attention
+        # probability tiles, reused below) in VMEM
+        _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias,
+                                 skpos, ckpos, W, keep_p=True)
 
     gy = gy_ref[:].reshape(rows, H).astype(jnp.float32)
 
@@ -578,7 +594,7 @@ def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
         dqc, dkc, dvc = _attn_bwd_tile(
             res["qc"], kvc[:, :H], kvc[:, H:], cbias, ckpos, seed, tile,
             nh + 1, dctx2, nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
-            g.attn_chunk,
+            g.attn_chunk, res.get("p_cross"),
         )
         dqc_c = dqc.astype(cdtype)
         _acc(dw_refs["wq"], _mm_tn(res["x1"], dqc_c))
@@ -606,7 +622,7 @@ def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
     dq, dk, dv = _attn_bwd_tile(
         qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:], sbias, skpos,
         seed, tile, 0, dctx, nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype,
-        g.attn_chunk,
+        g.attn_chunk, res.get("p_self"),
     )
     dqkv = jnp.concatenate([dq, dk, dv], axis=1)
     dqkv_c = dqkv.astype(cdtype)

@@ -105,9 +105,12 @@ class ModelConfig:
     # sentence-tile grid). Supersedes fused_attn when active. Same "auto"
     # semantics: single-device TPU only.
     fused_layer: str = "auto"            # "auto" | "on" | "off"
+    # tile sizes from the on-chip sweep (RESULTS.md): bwd at 32 sentences
+    # (384 rows = exact MXU tiles for every projection/wgrad matmul), the
+    # attention sub-chunk at 8 (the packed score matmuls waste O(chunk))
     layer_block_b_fwd: int = 64          # sentences per fused-layer fwd tile
-    layer_block_b_bwd: int = 16          # sentences per fused-layer bwd tile
-    layer_attn_chunk: int = 32           # sentences per attention sub-chunk
+    layer_block_b_bwd: int = 32          # sentences per fused-layer bwd tile
+    layer_attn_chunk: int = 8            # sentences per attention sub-chunk
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     # dead-code revival (new capability; counters the index collapse a

@@ -17,8 +17,9 @@ import os
 
 import jax
 
-SCOPED_VMEM_KIB = int(os.environ.get("KVT_SCOPED_VMEM_KIB", "115000"))
-# ~112 MiB default; v5e VMEM is 128 MiB total. Under lax.scan
+SCOPED_VMEM_KIB = int(os.environ.get("KVT_SCOPED_VMEM_KIB", "121500"))
+# ~118.7 MiB default (the 384-row bwd tile needs ~118 MiB and the rest of
+# the program ~9 MiB of the chip's 128 MiB). Under lax.scan
 # the fused-layer custom calls are wrapped in kCustom fusions governed by
 # THIS limit (the per-kernel pallas vmem_limit_bytes is not consulted), and
 # the backward kernel at TB=16 needs ~70-100 MiB.

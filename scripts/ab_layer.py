@@ -111,8 +111,12 @@ def main():
         parts = combo.split(":")
         tbf, tbb = int(parts[0]), int(parts[1])
         chunk = int(parts[2]) if len(parts) > 2 else None
-        measure("on", f"fused_layer ON  (tbf={tbf} tbb={tbb} chunk={chunk})",
-                tbf=tbf, tbb=tbb, chunk=chunk)
+        try:
+            measure("on", f"fused_layer ON  (tbf={tbf} tbb={tbb} chunk={chunk})",
+                    tbf=tbf, tbb=tbb, chunk=chunk)
+        except Exception as e:  # e.g. VMEM OOM at this tiling — keep sweeping
+            print(f"tbf={tbf} tbb={tbb} chunk={chunk}: FAILED "
+                  f"{str(e).splitlines()[0][:160]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,102 @@
+"""Secondary benchmarks: reconstruction inference + fused-VQ kernel latency.
+
+BASELINE.json's metric family names "train + recon inference"; bench.py's
+driver contract emits the train metric. This script measures the other two
+rows for RESULTS.md with the same chained-steps / one-materialization
+methodology (CLAUDE.md: per-step host syncs measure the tunnel, not the
+chip).
+
+    python scripts/bench_infer.py [--batch 1024] [--steps 30]
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    from kindergarten_vq_vae_tpu.ops.vq import vector_quantize
+    from kindergarten_vq_vae_tpu.ops.vq_pallas import fused_vector_quantize
+    from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
+    from kindergarten_vq_vae_tpu.train.variants import build_model, init_params
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    B, S = args.batch, 12
+    cfg = RunConfig(
+        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16",
+                          vq_use_fused=True),
+        data=DataConfig(batch_size=B, tokenized_sentence_max_length=S),
+    )
+    model = build_model(cfg)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(1, 30522, (B, S)), jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    # ---- reconstruction inference: deterministic forward + argmax decode,
+    # chained through the recon ids so steps execute back-to-back on-device
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+    def recon(ids_in):
+        out = model.apply({"params": params}, ids_in, mask,
+                          deterministic=True, is_training=False)
+        return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
+
+    cur = recon(ids)
+    jax.block_until_ready(cur)
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        cur = ids
+        for _ in range(args.steps):
+            cur = recon(cur)
+        int(jnp.sum(cur[:1, :1]))  # materialize through the tunnel
+        dt = (time.perf_counter() - t0) / args.steps * 1e3
+        best = dt if best is None else min(best, dt)
+    print(f"recon inference: {best:7.2f} ms/batch -> {B / best * 1e3:,.0f} sentences/sec")
+
+    # ---- fused VQ kernel latency at the flagship shape (B*S rows x e_dim),
+    # chained by feeding z_q back in; compared against the jnp oracle
+    e_dim, n_e = cfg.model.vq_e_dim, cfg.model.vq_n_e
+    z = jnp.asarray(rng.normal(size=(B * S, e_dim)), jnp.float32)
+    emb = jnp.asarray(rng.normal(size=(n_e, e_dim)), jnp.float32)
+
+    def timed(fn, label):
+        @jax.jit
+        def step(z_in):
+            z_q, *_ = fn(z_in, emb, 0.25)
+            return z_q
+
+        cur = step(z)
+        jax.block_until_ready(cur)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cur = z
+            for _ in range(args.steps):
+                cur = step(cur)
+            float(jnp.sum(cur[:1, :1]))
+            dt = (time.perf_counter() - t0) / args.steps * 1e6
+            best = dt if best is None else min(best, dt)
+        print(f"{label}: {best:8.1f} us/call at ({B * S}, {e_dim}) x {n_e}")
+        return best
+
+    t_fused = timed(fused_vector_quantize, "fused VQ kernel ")
+    t_oracle = timed(vector_quantize, "jnp VQ oracle    ")
+    print(f"fused VQ speedup: {t_oracle / t_fused:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
