@@ -41,7 +41,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--tbf", type=int, default=64)
-    ap.add_argument("--tbb", type=int, default=16)
+    ap.add_argument("--tbb", type=int, default=32)
     ap.add_argument("--skip-off", action="store_true")
     ap.add_argument("--sweep", default="",
                     help="comma list of tbf:tbb[:chunk] combos to time after the main run")
@@ -69,11 +69,12 @@ def main():
         k1, k2, k3 = jax.random.split(key, 3)
         return {"dropout": k1, "gumbel": k2, "perturb": k3}
 
-    def measure(fused: str, label: str, tbf=None, tbb=None, chunk=None):
+    def measure(fused: str, label: str, tbf=None, tbb=None, chunk=None, gelu_exact=True):
         model = ModelConfig(
             model_name="shelgon3", compute_dtype="bfloat16",
             vq_use_fused=True, fused_layer=fused,
             layer_block_b_fwd=tbf or args.tbf, layer_block_b_bwd=tbb or args.tbb,
+            gelu_exact=gelu_exact,
         )
         if chunk is not None:
             model = dataclasses.replace(model, layer_attn_chunk=chunk)
@@ -109,11 +110,14 @@ def main():
         print(f"speedup: {t_off / t_on:.2f}x", flush=True)
     for combo in [c for c in args.sweep.split(",") if c]:
         parts = combo.split(":")
+        gelu_exact = "g" not in parts
+        parts = [q for q in parts if q != "g"]
         tbf, tbb = int(parts[0]), int(parts[1])
         chunk = int(parts[2]) if len(parts) > 2 else None
         try:
-            measure("on", f"fused_layer ON  (tbf={tbf} tbb={tbb} chunk={chunk})",
-                    tbf=tbf, tbb=tbb, chunk=chunk)
+            measure("on", f"fused_layer ON  (tbf={tbf} tbb={tbb} chunk={chunk}"
+                    f" gelu_exact={gelu_exact})",
+                    tbf=tbf, tbb=tbb, chunk=chunk, gelu_exact=gelu_exact)
         except Exception as e:  # e.g. VMEM OOM at this tiling — keep sweeping
             print(f"tbf={tbf} tbb={tbb} chunk={chunk}: FAILED "
                   f"{str(e).splitlines()[0][:160]}", flush=True)
