@@ -370,16 +370,15 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
         _LayerParams(cfg, has_cross, name=f"layer_{i}")()
         for i in range(cfg.num_layers)
     ]
-    # cast matmul kernels to the compute dtype BEFORE stacking/scanning:
-    # otherwise the scan body's per-layer dynamic slices materialize f32
-    # weight blocks in VMEM (double the footprint) before the in-kernel cast
+    # cast matmul kernels to the compute dtype up front: otherwise each
+    # kernel call materializes f32 weight blocks in VMEM (double the
+    # footprint) before the in-kernel cast
     names = DEC_WEIGHTS if has_cross else ENC_WEIGHTS
     per_layer = [
         tuple(w.astype(cfg.dtype) if n.startswith("w") else w
               for n, w in zip(names, ws))
         for ws in per_layer
     ]
-    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *per_layer)
 
     attn_rate = 0.0 if deterministic else cfg.attention_dropout
     hid_rate = 0.0 if deterministic else cfg.hidden_dropout
@@ -412,12 +411,14 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
     enc = encoder_hidden_states if has_cross else None
     emask = encoder_attention_mask if has_cross else None
 
-    def body(h, per):
-        ws, seed = per
-        h = fused_bert_layer(geom, h, enc, attention_mask, emask, seed, None, *ws)
-        return h, None
-
-    x, _ = jax.lax.scan(body, x, (stacked, seeds))
+    # straight unrolled loop: a rolled lax.scan pays ~0.5 ms/layer of
+    # dynamic-slice copies of stacked weights (and dynamic-update-slices of
+    # the stacked dW in backward) — measured 200.7 -> 186.6 ms/step unrolled.
+    # Mosaic caches the kernel compilation by jaxpr hash, so the payload
+    # still compiles once per trunk.
+    for i in range(cfg.num_layers):
+        x = fused_bert_layer(geom, x, enc, attention_mask, emask,
+                             seeds[i], None, *per_layer[i])
     return x
 
 
