@@ -494,7 +494,13 @@ class BertMLMHead(nn.Module):
                 "decoder_kernel", _dense_init(cfg), (cfg.hidden_size, cfg.vocab_size)
             ).astype(cfg.dtype)
         bias = self.param("decoder_bias", nn.initializers.zeros, (cfg.vocab_size,))
-        logits = x @ kernel + bias.astype(cfg.dtype)
+        # matmul in 2-D: with a 3-D (B, S, V) product XLA picks a batch-minor
+        # {0,2,1} output layout and then pays a ~750 MB relayout copy to feed
+        # the row-major fused-CE kernel (seen in device traces); the 2-D form
+        # is born row-major and the reshape back is a free bitcast
+        b, s, _ = x.shape
+        x2 = x.reshape(b * s, cfg.hidden_size)
+        logits = (x2 @ kernel + bias.astype(cfg.dtype)).reshape(b, s, cfg.vocab_size)
         return logits
 
 
