@@ -343,12 +343,14 @@ def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
 
 
 def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
-                    skpos, ckpos, W, keep_p=False):
+                    skpos, ckpos, W, keep_p=False, skip_final=False):
     """Shared forward math (used by fwd kernel, and recomputed in bwd).
 
     x: (rows, H) cdtype; enc: (rows_k, H) cdtype or None. Returns the final
     output plus every residual the backward needs (all VMEM values).
-    """
+    skip_final stops before the last projection + LayerNorm (the lite
+    backward recovers them from the stored layer output instead — saves the
+    w2 matmul in every recompute)."""
     g = geom
     nh, hd, H = g.num_heads, g.head_dim, g.hidden
     cdtype = x.dtype
@@ -407,6 +409,10 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
     res["u_c"] = u_c
     mlp = _gelu_fwd(u, g.gelu_exact).astype(cdtype)
     res["m_c"] = mlp
+    if skip_final:
+        if g.hid_rate > 0.0:
+            res["k3"] = _keep_2d(seed, tile, 1002, rows, H, g.hid_rate)
+        return None, res
     y = _mm(mlp, W["w2"]) + W["b2"]
     if g.hid_rate > 0.0:
         k3 = _keep_2d(seed, tile, 1002, rows, H, g.hid_rate)
@@ -423,13 +429,17 @@ def _weights_dict(geom, refs):
     return {n: r[:] for n, r in zip(names, refs)}
 
 
-def _res_layout(geom: LayerGeom):
+def _res_layout(geom: LayerGeom, mode: str = "full"):
     """(name, sentence-len, width, kind) of each saved residual, in the
     fwd-output / bwd-input contract order. kind 'c' = compute dtype,
     'f32' = float32. 'invs' packs the up-to-3 per-row LN rsqrt stats into
     lanes 0/1/2 of a 128-lane f32 row (a (rows, 1) output would round up to
-    a full lane tile anyway)."""
+    a full lane tile anyway). mode 'lite' saves ONLY invs: the recompute
+    backward then derives the final LN from the stored layer output + inv3
+    instead of re-running the w2 matmul."""
     H, F = geom.hidden, geom.intermediate
+    if mode == "lite":
+        return [("invs", geom.s_q, 128, "f32")]
     out = [
         ("qkv_c", geom.s_q, 3 * H, "c"),
         ("ctx_c", geom.s_q, H, "c"),
@@ -446,7 +456,7 @@ def _res_layout(geom: LayerGeom):
     return out
 
 
-def _layer_fwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
+def _layer_fwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
     g = geom
     tb = g.block_b_fwd
     rows = tb * g.s_q
@@ -462,7 +472,7 @@ def _layer_fwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
     n_w = len(DEC_WEIGHTS if g.has_cross else ENC_WEIGHTS)
     w_refs = refs[pos:pos + n_w]; pos += n_w
     out_ref = refs[pos]; pos += 1
-    res_refs = refs[pos:] if save else ()
+    res_refs = refs[pos:] if save != "none" else ()
 
     W = _weights_dict(g, w_refs)
     x = x_ref[:].reshape(rows, g.hidden)
@@ -479,14 +489,14 @@ def _layer_fwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
         g, tb, seed_ref[0], pl.program_id(0), x, enc, sbias, cbias, skpos, ckpos, W
     )
     out_ref[:] = out.reshape(tb, g.s_q, g.hidden).astype(out_ref.dtype)
-    if save:
+    if save != "none":
         lane = jax.lax.broadcasted_iota(jnp.int32, (rows, 128), 1)
         invs = jnp.where(lane == 0, res["inv1"], 0.0)
         if g.has_cross:
             invs = invs + jnp.where(lane == 1, res["inv2"], 0.0)
         invs = invs + jnp.where(lane == 2, res["inv3"], 0.0)
         res["invs"] = invs
-        for (name, s_dim, width, _), ref in zip(_res_layout(g), res_refs):
+        for (name, s_dim, width, _), ref in zip(_res_layout(g, save), res_refs):
             ref[:] = res[name].reshape(tb, s_dim, width).astype(ref.dtype)
 
 
@@ -513,7 +523,7 @@ def _ln_recover_yhat(v, gamma, beta):
     return jnp.where(g32 == 0.0, 0.0, (v.astype(jnp.float32) - beta) / g32)
 
 
-def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
+def _layer_bwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
     g = geom
     tb = g.block_b_bwd
     rows = tb * g.s_q
@@ -532,9 +542,9 @@ def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
     gy_ref = refs[pos]; pos += 1
     out_ref = None
     res_refs = ()
-    if save:
+    if save != "none":
         out_ref = refs[pos]; pos += 1
-        n_res = len(_res_layout(g))
+        n_res = len(_res_layout(g, save))
         res_refs = refs[pos:pos + n_res]; pos += n_res
     w_refs = refs[pos:pos + len(names)]; pos += len(names)
     dx_ref = refs[pos]; pos += 1
@@ -556,12 +566,12 @@ def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
         cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
         cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
 
-    if save:
+    if save == "full":
         # rebuild the residual dict from the streamed fwd outputs — no
         # recompute matmuls; only VPU-cheap values (gelu, dropout masks,
         # yhat recovery) are rematerialized
         res = {}
-        for (name, s_dim, width, _), ref in zip(_res_layout(g), res_refs):
+        for (name, s_dim, width, _), ref in zip(_res_layout(g, save), res_refs):
             res[name] = ref[:].reshape(tb * s_dim, width)
         invs = res.pop("invs")
         res["inv1"], res["inv3"] = invs[:, 0:1], invs[:, 2:3]
@@ -579,10 +589,17 @@ def _layer_bwd_kernel(geom: LayerGeom, save: bool, seed_ref, *refs):
                 res["k2"] = _keep_2d(seed, tile, 1001, rows, H, g.hid_rate)
             res["k3"] = _keep_2d(seed, tile, 1002, rows, H, g.hid_rate)
     else:
-        # recompute the forward, keeping residuals (incl. the attention
-        # probability tiles, reused below) in VMEM
+        # lite: recompute the forward, keeping residuals (incl. the
+        # attention probability tiles, reused below) in VMEM — but STOP
+        # before the final w2 projection + LayerNorm and recover that LN
+        # from the stored layer output + streamed inv3 (saves a 58 GF
+        # matmul per layer per backward at bert-base)
         _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias,
-                                 skpos, ckpos, W, keep_p=True)
+                                 skpos, ckpos, W, keep_p=True, skip_final=True)
+        res["yhat3"] = _ln_recover_yhat(
+            out_ref[:].reshape(rows, H), W["g3"], W["be3"]
+        )
+        res["inv3"] = res_refs[0][:].reshape(rows, 128)[:, 2:3]
 
     gy = gy_ref[:].reshape(rows, H).astype(jnp.float32)
 
@@ -801,7 +818,7 @@ def _flop_estimate(geom, rows_total, backward):
     return fwd * (3 if backward else 1)
 
 
-def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save=False):
+def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save="none"):
     interpret = _resolve_interpret(interpret)
     b, s_q, H = x.shape
     tb = min(geom.block_b_fwd, b)
@@ -834,8 +851,8 @@ def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save=Fa
 
     out_shapes = [jax.ShapeDtypeStruct((b_pad, s_q, H), cdtype)]
     out_specs = [xspec]
-    if save:
-        for name, s_dim, width, kind in _res_layout(geom):
+    if save != "none":
+        for name, s_dim, width, kind in _res_layout(geom, save):
             dt = cdtype if kind == "c" else jnp.float32
             out_shapes.append(jax.ShapeDtypeStruct((b_pad, s_dim, width), dt))
             out_specs.append(pl.BlockSpec((tb, s_dim, width), lambda i, seed: (i, 0, 0),
@@ -847,9 +864,9 @@ def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save=Fa
             num_scalar_prefetch=1,
             grid=(grid,),
             in_specs=especs,
-            out_specs=out_specs if save else out_specs[0],
+            out_specs=out_specs if save != "none" else out_specs[0],
         ),
-        out_shape=out_shapes if save else out_shapes[0],
+        out_shape=out_shapes if save != "none" else out_shapes[0],
         interpret=interpret,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024,
@@ -860,15 +877,15 @@ def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save=Fa
             transcendentals=b_pad * s_q * (geom.intermediate + tb * s_q * geom.num_heads),
         ),
     )(seed, *inputs)
-    if save:
+    if save != "none":
         return outs[0][:b], tuple(outs[1:])
     return outs[:b]
 
 
 def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret,
-                    out=None, res=None):
+                    out=None, res=None, mode="none"):
     interpret = _resolve_interpret(interpret)
-    save = res is not None
+    save = mode
     b, s_q, H = x.shape
     tb = min(geom.block_b_bwd, b)
     geom = dataclasses.replace(geom, block_b_bwd=tb)
@@ -897,14 +914,14 @@ def _layer_backward(geom, x, enc, smask, cmask, seed, weights, gy, interpret,
                                    memory_space=pltpu.VMEM))
     inputs.append(gp)
     especs.append(xspec)
-    if save:
+    if save != "none":
         def fit(a):
             # fwd may have padded with a different tile size
             return a if a.shape[0] == b_pad else _pad_rows(a[:b], b_pad)
 
         inputs.append(fit(out.astype(cdtype)))
         especs.append(xspec)
-        for (name, s_dim, width, _), r in zip(_res_layout(geom), res):
+        for (name, s_dim, width, _), r in zip(_res_layout(geom, save), res):
             inputs.append(fit(r))
             especs.append(pl.BlockSpec((tb, s_dim, width), lambda i, seed: (i, 0, 0),
                                        memory_space=pltpu.VMEM))
@@ -1106,13 +1123,10 @@ def _fbl_fwd(geom, x, enc, smask, cmask, seed, interpret, *weights):
     cmask_ = cmask
     if geom.has_cross and cmask_ is None:
         cmask_ = jnp.ones((x.shape[0], geom.s_k), jnp.int32)
-    if geom.save_residuals:
-        out, res = _layer_forward(geom, x, enc, smask_, cmask_, seed, weights,
-                                  interpret, save=True)
-    else:
-        out = _layer_forward(geom, x, enc, smask_, cmask_, seed, weights, interpret)
-        res = None
-    return out, (x, enc, smask, cmask, seed, weights, res, out if geom.save_residuals else None)
+    mode = "full" if geom.save_residuals else "lite"
+    out, res = _layer_forward(geom, x, enc, smask_, cmask_, seed, weights,
+                              interpret, save=mode)
+    return out, (x, enc, smask, cmask, seed, weights, res, out)
 
 
 def _fbl_bwd(geom, interpret, saved, gy):
@@ -1125,8 +1139,9 @@ def _fbl_bwd(geom, interpret, saved, gy):
         dx, denc, dws = _layer_backward_xla(geom, x, enc, smask, cmask, seed,
                                             weights, gy, out, res, interpret)
     else:
+        mode = "full" if geom.save_residuals else "lite"
         dx, denc, dws = _layer_backward(geom, x, enc, smask, cmask, seed, weights,
-                                        gy, interpret, out=out, res=res)
+                                        gy, interpret, out=out, res=res, mode=mode)
     return (dx, denc, None, None, None) + dws
 
 
