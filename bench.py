@@ -4,7 +4,7 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "sentences/sec", "vs_baseline": N}
 
 - TPU side: full jitted train step (fwd + KL recon loss + fused Pallas VQ +
-  bwd + adam/amsgrad update) at bert-base geometry, bf16 compute, batch 1024,
+  bwd + adam/amsgrad update) at bert-base geometry, bf16 compute, batch 2048,
   seq 12 — pre-tokenized static-shape inputs. Steps are chained through the
   donated train state so the device executes them back-to-back; one final
   block_until_ready (per-step host sync would measure tunnel latency, not
@@ -29,7 +29,8 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-BATCH = 1024       # TPU train batch (throughput sweet spot on one v5e chip)
+BATCH = 2048       # TPU train batch (throughput sweet spot on one v5e chip;
+                   # 2048 amortizes the fixed optimizer update ~5% better than 1024)
 BASELINE_BATCH = 256  # CPU torch baseline batch (throughput there is
                       # batch-size-insensitive; sentences/sec basis is shared)
 SEQ = 12
