@@ -17,14 +17,19 @@ import numpy as np
 
 
 
-def _tpu_jit(fn):
-    # jit with the raised scoped-vmem limit the fused-layer kernels need
-    # (utils/compile.py); no-op off-TPU
+def _tpu_jit(fn, *bound):
+    """jit with the raised scoped-vmem limit the fused-layer kernels need
+    (utils/compile.py); no-op off-TPU. ``bound`` values (e.g. the param
+    tree) are passed as leading jit ARGUMENTS, not closures: closed-over
+    arrays lower to HLO constants, and a bert-base param tree (~880 MB)
+    blows the remote-compile service's request-size limit (HTTP 413)."""
+    import functools
+
     import jax
 
     from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
-    return jax.jit(fn, compiler_options=tpu_compiler_options())
+    return functools.partial(jax.jit(fn, compiler_options=tpu_compiler_options()), *bound)
 
 
 def extract_cross_attention(
@@ -44,20 +49,21 @@ def extract_cross_attention(
     if model_kind == "auto":
         model_kind = type(model).__name__.lower()
 
-    @_tpu_jit
-    def infer(ids, mask):
+    def _infer(p, ids, mask):
         kwargs = dict(deterministic=True, output_attentions=True,
                       rngs={"gumbel": jax.random.key(0)})
         if model_kind in ("bagon", "shelgon"):
-            out = model.apply({"params": params}, ids, mask, ids, mask, **kwargs)
+            out = model.apply({"params": p}, ids, mask, ids, mask, **kwargs)
         elif model_kind == "shelgon3":
-            out = model.apply({"params": params}, ids, mask, is_training=False, **kwargs)
+            out = model.apply({"params": p}, ids, mask, is_training=False, **kwargs)
         else:
-            out = model.apply({"params": params}, ids, mask, **kwargs)
+            out = model.apply({"params": p}, ids, mask, **kwargs)
         # (layers, B, heads, S, S) -> mean over batch -> (layers, heads, S, S)
         cross = jnp.stack(out["decoder_cross_attentions"]).mean(axis=1)
         self_ = jnp.stack(out["decoder_attentions"]).mean(axis=1)
         return cross, self_
+
+    infer = _tpu_jit(_infer, params)
 
     n = len(input_ids)
     sums_cross = sums_self = None

@@ -32,14 +32,19 @@ WORDS_OF_INTEREST = (
 
 
 
-def _tpu_jit(fn):
-    # jit with the raised scoped-vmem limit the fused-layer kernels need
-    # (utils/compile.py); no-op off-TPU
+def _tpu_jit(fn, *bound):
+    """jit with the raised scoped-vmem limit the fused-layer kernels need
+    (utils/compile.py); no-op off-TPU. ``bound`` values (e.g. the param
+    tree) are passed as leading jit ARGUMENTS, not closures: closed-over
+    arrays lower to HLO constants, and a bert-base param tree (~880 MB)
+    blows the remote-compile service's request-size limit (HTTP 413)."""
+    import functools
+
     import jax
 
     from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
-    return jax.jit(fn, compiler_options=tpu_compiler_options())
+    return functools.partial(jax.jit(fn, compiler_options=tpu_compiler_options()), *bound)
 
 
 def unsupervised_vq_disentanglement(
@@ -56,14 +61,15 @@ def unsupervised_vq_disentanglement(
     """Returns (populated_codes, words_of_interest_histograms, code->words)."""
     n_e = cfg.model.vq_n_e
 
-    @_tpu_jit
-    def infer(input_ids, attention_mask):
+    def _infer(p, input_ids, attention_mask):
         out = model.apply(
-            {"params": params}, input_ids, attention_mask,
+            {"params": p}, input_ids, attention_mask,
             deterministic=True, is_training=False,
             rngs={"gumbel": jax.random.key(0)},
         )
         return out["min_encoding_indices"][..., 0]  # (B, S)
+
+    infer = _tpu_jit(_infer, params)
 
     woi_distrib: dict[str, list[int]] = {w: [] for w in words_of_interest}
     code_words: dict[int, set] = {k: set() for k in range(n_e)}

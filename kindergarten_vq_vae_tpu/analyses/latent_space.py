@@ -13,14 +13,19 @@ import numpy as np
 
 
 
-def _tpu_jit(fn):
-    # jit with the raised scoped-vmem limit the fused-layer kernels need
-    # (utils/compile.py); no-op off-TPU
+def _tpu_jit(fn, *bound):
+    """jit with the raised scoped-vmem limit the fused-layer kernels need
+    (utils/compile.py); no-op off-TPU. ``bound`` values (e.g. the param
+    tree) are passed as leading jit ARGUMENTS, not closures: closed-over
+    arrays lower to HLO constants, and a bert-base param tree (~880 MB)
+    blows the remote-compile service's request-size limit (HTTP 413)."""
+    import functools
+
     import jax
 
     from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
-    return jax.jit(fn, compiler_options=tpu_compiler_options())
+    return functools.partial(jax.jit(fn, compiler_options=tpu_compiler_options()), *bound)
 
 
 def compute_sentence_latents(model, params, input_ids, attention_mask, batch_size: int = 512,
@@ -35,12 +40,13 @@ def compute_sentence_latents(model, params, input_ids, attention_mask, batch_siz
 
     enc_cfg = model.enc_cfg
 
-    @_tpu_jit
-    def encode(ids, mask):
+    def _encode(enc_params, ids, mask):
         out = BertModel(enc_cfg).apply(
-            {"params": params["encoder"]}, ids, attention_mask=mask, deterministic=True
+            {"params": enc_params}, ids, attention_mask=mask, deterministic=True
         )
         return out["pooler_output"]
+
+    encode = _tpu_jit(_encode, params["encoder"])
 
     n = len(input_ids)
     chunks = []

@@ -18,14 +18,19 @@ import numpy as np
 
 
 
-def _tpu_jit(fn):
-    # jit with the raised scoped-vmem limit the fused-layer kernels need
-    # (utils/compile.py); no-op off-TPU
+def _tpu_jit(fn, *bound):
+    """jit with the raised scoped-vmem limit the fused-layer kernels need
+    (utils/compile.py); no-op off-TPU. ``bound`` values (e.g. the param
+    tree) are passed as leading jit ARGUMENTS, not closures: closed-over
+    arrays lower to HLO constants, and a bert-base param tree (~880 MB)
+    blows the remote-compile service's request-size limit (HTTP 413)."""
+    import functools
+
     import jax
 
     from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
-    return jax.jit(fn, compiler_options=tpu_compiler_options())
+    return functools.partial(jax.jit(fn, compiler_options=tpu_compiler_options()), *bound)
 
 
 def filter_by_factor(decoded_df, factor_name: str, factor_value: str, acc_threshold: float = 0.999):
@@ -50,24 +55,25 @@ def latent_traversals_shelgon(
     ids = jnp.asarray(input_ids)
     mask = jnp.asarray(attention_mask)
 
-    @_tpu_jit
-    def run(override):
+    def _run(p, ids_, mask_, override):
         out = model.apply(
-            {"params": params}, ids, mask, ids, mask,
+            {"params": p}, ids_, mask_, ids_, mask_,
             deterministic=True,
             override_latent_classes=override,
             rngs={"gumbel": jax.random.key(0)},
         )
         return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
 
-    @_tpu_jit
-    def run_plain():
+    def _run_plain(p, ids_, mask_):
         out = model.apply(
-            {"params": params}, ids, mask, ids, mask,
+            {"params": p}, ids_, mask_, ids_, mask_,
             deterministic=True,
             rngs={"gumbel": jax.random.key(0)},
         )
         return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
+
+    run = _tpu_jit(_run, params, ids, mask)
+    run_plain = _tpu_jit(_run_plain, params, ids, mask)
 
     orig_ids, orig_latents = run_plain()
     override = jnp.asarray(override_matrix, jnp.float32)

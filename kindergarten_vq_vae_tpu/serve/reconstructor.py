@@ -38,14 +38,17 @@ class Reconstructor:
 
     # ------------------------------------------------------------------ core
 
-    def _forward(self, ids, mask):
+    def _forward(self, params, ids, mask):
+        # params is a jit ARGUMENT, never a closure: closed-over arrays
+        # lower to HLO constants, and a bert-base param tree (~880 MB f32)
+        # blows the remote-compile service's request-size limit (HTTP 413)
         kwargs = dict(deterministic=True, rngs={"gumbel": jax.random.key(0)})
         if self.model_name in ("bagon", "shelgon"):
-            out = self.model.apply({"params": self.params}, ids, mask, ids, mask, **kwargs)
+            out = self.model.apply({"params": params}, ids, mask, ids, mask, **kwargs)
         elif self.model_name == "shelgon3":
-            out = self.model.apply({"params": self.params}, ids, mask, is_training=False, **kwargs)
+            out = self.model.apply({"params": params}, ids, mask, is_training=False, **kwargs)
         else:
-            out = self.model.apply({"params": self.params}, ids, mask, **kwargs)
+            out = self.model.apply({"params": params}, ids, mask, **kwargs)
         recon_ids = jnp.argmax(out["logits"], axis=-1)
         codes = out.get("min_encoding_indices")
         return recon_ids, (codes[..., 0] if codes is not None else jnp.zeros_like(ids))
@@ -53,11 +56,12 @@ class Reconstructor:
     def _fn_for(self, n: int):
         bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
         if bucket not in self._fns:
+            import functools
+
             from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
-            self._fns[bucket] = jax.jit(
-                self._forward, compiler_options=tpu_compiler_options()
-            )
+            jitted = jax.jit(self._forward, compiler_options=tpu_compiler_options())
+            self._fns[bucket] = functools.partial(jitted, self.params)
         return bucket, self._fns[bucket]
 
     def _run_padded(self, ids: np.ndarray, mask: np.ndarray):

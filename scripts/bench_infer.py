@@ -47,21 +47,24 @@ def main():
     mask = jnp.ones((B, S), jnp.int32)
 
     # ---- reconstruction inference: deterministic forward + argmax decode,
-    # chained through the recon ids so steps execute back-to-back on-device
+    # chained through the recon ids so steps execute back-to-back on-device.
+    # params MUST be an argument (not a closure): closed-over arrays become
+    # HLO constants, and the ~880 MB param payload blows the remote-compile
+    # service's request-size limit (HTTP 413)
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
-    def recon(ids_in):
-        out = model.apply({"params": params}, ids_in, mask,
+    def recon(p, ids_in):
+        out = model.apply({"params": p}, ids_in, mask,
                           deterministic=True, is_training=False)
         return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
 
-    cur = recon(ids)
+    cur = recon(params, ids)
     jax.block_until_ready(cur)
     best = None
     for _ in range(2):
         t0 = time.perf_counter()
         cur = ids
         for _ in range(args.steps):
-            cur = recon(cur)
+            cur = recon(params, cur)
         int(jnp.sum(cur[:1, :1]))  # materialize through the tunnel
         dt = (time.perf_counter() - t0) / args.steps * 1e3
         best = dt if best is None else min(best, dt)
@@ -70,14 +73,13 @@ def main():
     # ---- fused VQ kernel latency at the flagship shape (B*S rows x e_dim),
     # chained by feeding z_q back in; compared against the jnp oracle
     e_dim, n_e = cfg.model.vq_e_dim, cfg.model.vq_n_e
-    z = jnp.asarray(rng.normal(size=(B * S, e_dim)), jnp.float32)
+    z = jnp.asarray(rng.normal(size=(B, S, e_dim)), jnp.float32)
     emb = jnp.asarray(rng.normal(size=(n_e, e_dim)), jnp.float32)
 
     def timed(fn, label):
         @jax.jit
         def step(z_in):
-            z_q, *_ = fn(z_in, emb, 0.25)
-            return z_q
+            return fn(z_in, emb, 0.25).z_q
 
         cur = step(z)
         jax.block_until_ready(cur)
@@ -87,10 +89,10 @@ def main():
             cur = z
             for _ in range(args.steps):
                 cur = step(cur)
-            float(jnp.sum(cur[:1, :1]))
+            float(jnp.sum(cur[:1, :1, :1]))
             dt = (time.perf_counter() - t0) / args.steps * 1e6
             best = dt if best is None else min(best, dt)
-        print(f"{label}: {best:8.1f} us/call at ({B * S}, {e_dim}) x {n_e}")
+        print(f"{label}: {best:8.1f} us/call at ({B}x{S}, {e_dim}) x {n_e}")
         return best
 
     t_fused = timed(fused_vector_quantize, "fused VQ kernel ")
