@@ -32,19 +32,7 @@ WORDS_OF_INTEREST = (
 
 
 
-def _tpu_jit(fn, *bound):
-    """jit with the raised scoped-vmem limit the fused-layer kernels need
-    (utils/compile.py); no-op off-TPU. ``bound`` values (e.g. the param
-    tree) are passed as leading jit ARGUMENTS, not closures: closed-over
-    arrays lower to HLO constants, and a bert-base param tree (~880 MB)
-    blows the remote-compile service's request-size limit (HTTP 413)."""
-    import functools
-
-    import jax
-
-    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
-
-    return functools.partial(jax.jit(fn, compiler_options=tpu_compiler_options()), *bound)
+from kindergarten_vq_vae_tpu.utils.compile import tpu_jit as _tpu_jit
 
 
 def unsupervised_vq_disentanglement(

@@ -802,8 +802,12 @@ def _prep_weights(geom, weights, cdtype):
 
 
 def _wspecs(ws):
+    # nd bound via default arg: a plain closure over the loop variable would
+    # make every lambda see the LAST weight's ndim (safe today only because
+    # _prep_weights lifts all weights to 2-D)
     return [
-        pl.BlockSpec(w.shape, lambda i, seed: (0,) * w.ndim, memory_space=pltpu.VMEM)
+        pl.BlockSpec(w.shape, lambda i, seed, nd=w.ndim: (0,) * nd,
+                     memory_space=pltpu.VMEM)
         for w in ws
     ]
 

@@ -56,12 +56,9 @@ class Reconstructor:
     def _fn_for(self, n: int):
         bucket = next((b for b in self.buckets if b >= n), self.buckets[-1])
         if bucket not in self._fns:
-            import functools
+            from kindergarten_vq_vae_tpu.utils.compile import tpu_jit
 
-            from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
-
-            jitted = jax.jit(self._forward, compiler_options=tpu_compiler_options())
-            self._fns[bucket] = functools.partial(jitted, self.params)
+            self._fns[bucket] = tpu_jit(self._forward, self.params)
         return bucket, self._fns[bucket]
 
     def _run_padded(self, ids: np.ndarray, mask: np.ndarray):

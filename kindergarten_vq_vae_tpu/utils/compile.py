@@ -31,3 +31,15 @@ def tpu_compiler_options() -> dict:
     if jax.default_backend() != "tpu":
         return {}
     return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}
+
+
+def tpu_jit(fn, *bound):
+    """jit with the raised scoped-vmem limit the fused-layer kernels need;
+    no-op off-TPU. ``bound`` values (e.g. the param tree) are passed as
+    leading jit ARGUMENTS, not closures: closed-over arrays lower to HLO
+    constants, and a bert-base param tree (~880 MB) blows the remote-compile
+    service's request-size limit (HTTP 413). Shared by every inference-side
+    caller (analyses, serving)."""
+    import functools
+
+    return functools.partial(jax.jit(fn, compiler_options=tpu_compiler_options()), *bound)
