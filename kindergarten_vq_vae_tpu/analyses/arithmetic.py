@@ -119,3 +119,79 @@ def latent_arithmetic_bagon(model, params, group_a, group_b, targets, tokenizer=
         "base_recon": _decode_ids(tokenizer, base),
         "shifted_recon": _decode_ids(tokenizer, shifted),
     }
+
+
+def _factor_groups(split, factor: str, value_a: str, value_b: str, n: int):
+    """Two sentence groups from a split, selected by an explicit factor value
+    (the reference builds its Δ from factor-opposite train sentences, e.g.
+    negative vs affirmative, latent_arithmetics_...conditioning.py:104-142)."""
+    from kindergarten_vq_vae_tpu.utils.consts import EXPLICIT_FACTOR_VALUES
+
+    names = list(EXPLICIT_FACTOR_VALUES)
+    col = names.index(factor)
+    values = EXPLICIT_FACTOR_VALUES[factor]
+    labels = np.asarray(split.labels)
+
+    def pick(value):
+        idx = np.where(labels[:, col] == values.index(value))[0][:n]
+        if len(idx) == 0:
+            raise ValueError(f"no sentences with {factor}={value}")
+        return {
+            "input_ids": np.asarray(split.input_ids)[idx],
+            "attention_mask": np.asarray(split.attention_mask)[idx],
+        }
+
+    return pick(value_a), pick(value_b)
+
+
+def _main():
+    """Run-dir script contract of the reference's three latent-arithmetic
+    scripts (analyses/latent_arithmetics/): Δ = mean(group A) − mean(group B)
+    computed on train sentences, added to held-out latents at one of three
+    injection points, reconstructions printed."""
+    import argparse
+    import json
+    import os
+
+    from kindergarten_vq_vae_tpu.analyses.common import load_run
+    from kindergarten_vq_vae_tpu.train.run import load_data
+
+    p = argparse.ArgumentParser(description="latent arithmetic (conditioning | sentence | bagon)")
+    p.add_argument("run_dir")
+    p.add_argument("--mode", default="bagon",
+                   choices=("conditioning", "sentence", "bagon"),
+                   help="injection point (the three reference scripts)")
+    p.add_argument("--factor", default="verb_tense",
+                   help="explicit factor, e.g. verb_tense (the reference's "
+                        "Bagon example, latent_arithmetics_Bagon.py:26-34)")
+    p.add_argument("--a", default="present", help="factor value of group A")
+    p.add_argument("--b", default="past", help="factor value of group B")
+    p.add_argument("--n", type=int, default=64, help="sentences per group / targets")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    cfg, model, params = load_run(args.run_dir)
+    splits, tokenizer = load_data(cfg)
+    group_a, group_b = _factor_groups(splits["train"], args.factor, args.a, args.b, args.n)
+    # targets: held-out sentences from group B's factor value (the Δ should
+    # flip them toward A), drawn from the val split
+    targets, _ = _factor_groups(splits["val"], args.factor, args.b, args.a, args.n)
+
+    fn = {
+        "conditioning": latent_arithmetic_shelgon_conditioning,
+        "sentence": latent_arithmetic_shelgon_sentence,
+        "bagon": latent_arithmetic_bagon,
+    }[args.mode]
+    res = fn(model, params, group_a, group_b, targets, tokenizer)
+
+    for base, shifted in zip(res.get("base_recon") or [], res.get("shifted_recon") or []):
+        print(f"base   : {base}\nshifted: {shifted}\n")
+    out = args.out or os.path.join(args.run_dir, f"latent_arithmetic_{args.mode}.json")
+    dump = {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in res.items()}
+    with open(out, "w") as f:
+        json.dump(dump, f)
+    print(f"results -> {out}")
+
+
+if __name__ == "__main__":
+    _main()

@@ -95,3 +95,56 @@ def latent_space_visualization(
         except ImportError:
             pass
     return points
+
+
+def _main():
+    """Run-dir script contract of the reference
+    (analyses/latent_space_visualization/latent_space_visualization.py):
+    compute (or load cached) sentence latent reps, filter to class
+    combinations, min-max scale dims, scatter-plot to PNG."""
+    import argparse
+    import json
+
+    from kindergarten_vq_vae_tpu.analyses.common import load_run
+    from kindergarten_vq_vae_tpu.train.run import load_data
+
+    p = argparse.ArgumentParser(description="latent-space scatter visualization")
+    p.add_argument("run_dir")
+    p.add_argument("--split", default="test", choices=("train", "val", "test"))
+    p.add_argument("--combos", default=None,
+                   help="JSON list of 5-factor label tuples to plot; default: "
+                        "the 8 most frequent combinations (the reference "
+                        "hand-picks 8, latent_space_visualization.py)")
+    p.add_argument("--batch-size", type=int, default=512)
+    p.add_argument("--dims", default="0,1")
+    args = p.parse_args()
+
+    cfg, model, params = load_run(args.run_dir)
+    splits, _ = load_data(cfg)
+    split = splits[args.split]
+    ids = np.asarray(split.input_ids)
+    mask = np.asarray(split.attention_mask)
+    labels = np.asarray(split.labels)
+
+    cache = os.path.join(args.run_dir, f"sentence_latent_reps_{args.split}.npy")
+    if os.path.exists(cache):
+        latents = np.load(cache)
+    else:
+        latents = compute_sentence_latents(
+            model, params, ids, mask, batch_size=args.batch_size, out_path=cache
+        )
+
+    if args.combos:
+        combos = [tuple(c) for c in json.loads(args.combos)]
+    else:
+        uniq, counts = np.unique(labels, axis=0, return_counts=True)
+        combos = [tuple(int(v) for v in row) for row in uniq[np.argsort(-counts)][:8]]
+
+    dims = tuple(int(d) for d in args.dims.split(","))
+    out_png = os.path.join(args.run_dir, "latent_space_visualization.png")
+    points = latent_space_visualization(latents, labels, combos, out_path=out_png, dims=dims)
+    print(f"{len(points)} combos plotted -> {out_png} (latents cached at {cache})")
+
+
+if __name__ == "__main__":
+    _main()

@@ -26,3 +26,21 @@ def get_max_acc_sentences(run_path: str, threshold: float = 0.999, out_dir: str 
     with open(os.path.join(out_dir, "max_acc_sentences.md"), "w") as f:
         f.write(filtered.to_markdown(index=False))
     return filtered
+
+
+def _main():
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="filter decoded_sentences to sentence_acc > threshold "
+                    "(ref analyses/get_max_acc_sentences.py:24-33)")
+    p.add_argument("run_dir")
+    p.add_argument("--threshold", type=float, default=0.999)
+    p.add_argument("--out-dir", default=None)
+    args = p.parse_args()
+    df = get_max_acc_sentences(args.run_dir, args.threshold, args.out_dir)
+    print(f"{len(df)} max-acc sentences -> {args.out_dir or args.run_dir}/max_acc_sentences.feather")
+
+
+if __name__ == "__main__":
+    _main()

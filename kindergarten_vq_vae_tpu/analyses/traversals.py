@@ -79,3 +79,76 @@ def latent_traversals_shelgon(
         result["original_recon"] = tokenizer.batch_decode(result["original_recon_ids"])
         result["traversed_recon"] = tokenizer.batch_decode(result["traversed_recon_ids"])
     return result
+
+
+def _main():
+    """Run-dir script contract of the reference
+    (analyses/latent_traversals/latent_traversals_Shelgon_latent_classes.py):
+    pick max-acc sentences (optionally filtered by an explicit factor value),
+    re-encode them, override the latent one-hot with a hand-written matrix,
+    and print original vs traversed reconstructions."""
+    import argparse
+    import json
+    import os
+
+    from kindergarten_vq_vae_tpu.analyses.common import load_run
+    from kindergarten_vq_vae_tpu.train.run import load_data
+
+    p = argparse.ArgumentParser(description="latent traversals (Shelgon latent classes)")
+    p.add_argument("run_dir")
+    p.add_argument("--factor", default=None, help="explicit factor column, e.g. verb_tense")
+    p.add_argument("--value", default=None, help="factor value, e.g. present")
+    p.add_argument("--override", default=None,
+                   help="JSON (num_classes, num_labels) one-hot matrix or a path "
+                        "to a .json holding one; default sets every class to label 0 "
+                        "(the reference hand-writes this matrix, ref :130-138)")
+    p.add_argument("--n", type=int, default=16, help="max sentences to traverse")
+    p.add_argument("--out", default=None, help="write results JSON here")
+    args = p.parse_args()
+
+    cfg, model, params = load_run(args.run_dir)
+    splits, tokenizer = load_data(cfg)
+
+    # sentence selection: max-acc feather when present (+ factor filter),
+    # else the first n test-split sentences
+    feather = os.path.join(args.run_dir, "max_acc_sentences.feather")
+    sentences = None
+    if os.path.exists(feather):
+        import pandas as pd
+
+        df = pd.read_feather(feather)
+        if args.factor and args.value:
+            df = filter_by_factor(df, args.factor, args.value, acc_threshold=-1.0)
+        sentences = list(df["input_sentence"])[: args.n]
+    if sentences:
+        ids, mask = tokenizer.encode_batch(
+            sentences, max_length=cfg.data.tokenized_sentence_max_length
+        )
+    else:
+        te = splits["test"]
+        ids = np.asarray(te.input_ids[: args.n])
+        mask = np.asarray(te.attention_mask[: args.n])
+
+    if args.override:
+        raw = args.override
+        if os.path.exists(raw):
+            with open(raw) as f:
+                raw = f.read()
+        override = np.asarray(json.loads(raw), np.float32)
+    else:
+        c, l = cfg.model.num_latent_classes, cfg.model.num_labels_per_class
+        override = np.zeros((c, l), np.float32)
+        override[:, 0] = 1.0
+
+    res = latent_traversals_shelgon(model, params, ids, mask, override, tokenizer)
+    for orig, trav in zip(res.get("original_recon", []), res.get("traversed_recon", [])):
+        print(f"orig: {orig}\ntrav: {trav}\n")
+    if args.out:
+        dump = {k: (v.tolist() if isinstance(v, np.ndarray) else v) for k, v in res.items()}
+        with open(args.out, "w") as f:
+            json.dump(dump, f)
+        print(f"results -> {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

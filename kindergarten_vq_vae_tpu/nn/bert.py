@@ -67,6 +67,13 @@ class BertConfig:
     layer_block_b_fwd: int = 64  # sentences per fwd tile
     layer_block_b_bwd: int = 32  # sentences per bwd tile (dW accums in VMEM)
     layer_attn_chunk: int = 8    # sentences per attention sub-chunk (see LayerGeom)
+    # Device mesh for the fused trunk: when set, the whole fused-layer stack
+    # runs under ONE shard_map over the mesh's dp axes (each device's batch
+    # shard through per-shard Pallas kernels; weights replicated in, their
+    # cotangents reduced by the shard_map transpose OUTSIDE the custom VJP —
+    # the same composition rule as ops/vq_pallas.fused_vector_quantize_sharded).
+    # None = single-device pallas_call.
+    mesh: Any = None
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property
@@ -351,16 +358,16 @@ class BertLayer(nn.Module):
 def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
                  encoder_hidden_states, encoder_attention_mask,
                  deterministic: bool):
-    """All transformer layers as ONE lax.scan over stacked per-layer weights,
-    each scan step a fused whole-layer Pallas kernel (ops/layer_pallas.py).
+    """All transformer layers as an unrolled loop of fused whole-layer
+    Pallas kernels (ops/layer_pallas.py), one fwd + one bwd kernel per
+    BertLayer. (A rolled lax.scan over stacked weights was measured ~13 ms
+    slower from dynamic-slice copies of the stack — see RESULTS.md; Mosaic
+    caches kernel compilation by jaxpr hash, so the unrolled loop still
+    compiles each kernel payload once per trunk.)
 
     Per-layer params keep the exact unfused tree (layer_i/self_attn/...) —
-    the _LayerParams mirrors are declared in the calling BertModel's scope;
-    stacking happens at apply time (a cheap on-device copy), so checkpoints,
-    the HF converter and the freezing masks are unaffected. The scan means
-    each model compiles exactly ONE forward and ONE backward kernel payload
-    regardless of depth — without it, Mosaic compiles 2 kernels per layer and
-    compile time explodes."""
+    the _LayerParams mirrors are declared in the calling BertModel's scope —
+    so checkpoints, the HF converter and the freezing masks are unaffected."""
     from kindergarten_vq_vae_tpu.ops.layer_pallas import LayerGeom, fused_bert_layer
 
     from kindergarten_vq_vae_tpu.ops.layer_pallas import DEC_WEIGHTS, ENC_WEIGHTS
@@ -411,6 +418,11 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
     enc = encoder_hidden_states if has_cross else None
     emask = encoder_attention_mask if has_cross else None
 
+    if cfg.mesh is not None:
+        return _fused_trunk_sharded(
+            cfg, geom, x, attention_mask, enc, emask, seeds, per_layer
+        )
+
     # straight unrolled loop: a rolled lax.scan pays ~0.5 ms/layer of
     # dynamic-slice copies of stacked weights (and dynamic-update-slices of
     # the stacked dW in backward) — measured 200.7 -> 186.6 ms/step unrolled.
@@ -420,6 +432,89 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
         x = fused_bert_layer(geom, x, enc, attention_mask, emask,
                              seeds[i], None, *per_layer[i])
     return x
+
+
+def _fused_trunk_sharded(cfg: BertConfig, geom, x, smask, enc, emask, seeds,
+                         per_layer):
+    """Data-parallel fused trunk: ONE shard_map over the mesh's dp axes runs
+    the whole unrolled fused-layer stack on each device's local batch shard.
+
+    Without this, any mesh forfeits the fused-kernel speedup (pallas custom
+    calls are not auto-partitionable under GSPMD — XLA would all-gather the
+    batch and replicate the kernel). The composition rule is the one proven
+    by ops/vq_pallas.fused_vector_quantize_sharded: the kernel grid is batch-
+    tiled, so each shard runs an ordinary per-shard kernel; weights enter
+    replicated (in_spec P()) and their cotangents are reduced across shards
+    by the shard_map transpose — no collectives inside the custom VJP.
+    Activations (x, enc, masks) stay dp-sharded end to end: the only
+    gradient-time collective is the dW reduction XLA already needs for DP.
+
+    The in-kernel hash-dropout seeds get the shard index folded in, so
+    dropout streams are decorrelated across shards (each shard's kernel
+    hashes LOCAL row ids, which repeat per shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax.experimental.shard_map import shard_map
+    except ImportError:  # moved in newer jax
+        from jax.shard_map import shard_map  # type: ignore
+
+    from kindergarten_vq_vae_tpu.ops.layer_pallas import fused_bert_layer
+    from kindergarten_vq_vae_tpu.parallel.mesh import dp_axes
+
+    mesh = cfg.mesh
+    axes = dp_axes(mesh)
+    if not axes:  # mesh with no dp axis (pure tp): per-device full batch
+        for i in range(cfg.num_layers):
+            x = fused_bert_layer(geom, x, enc, smask, emask, seeds[i], None,
+                                 *per_layer[i])
+        return x
+    dp = P(axes)
+
+    # shard_map specs are positional pytrees: materialize optional masks
+    if smask is None:
+        smask = jnp.ones((x.shape[0], x.shape[1]), jnp.int32)
+    has_cross = enc is not None
+    if has_cross and emask is None:
+        emask = jnp.ones((enc.shape[0], enc.shape[1]), jnp.int32)
+
+    n_per = len(per_layer[0])
+    flat_w = [w for ws in per_layer for w in ws]
+    n_layers = cfg.num_layers
+    dropout_on = geom.attn_rate > 0.0 or geom.hid_rate > 0.0
+
+    def local(x_, smask_, enc_, emask_, seeds_, *ws):
+        if dropout_on:
+            shard = jnp.int32(0)
+            for ax in axes:  # row-major flattened dp shard index
+                shard = shard * jnp.int32(mesh.shape[ax]) + (
+                    jax.lax.axis_index(ax).astype(jnp.int32)
+                )
+            seeds_ = seeds_ + shard * jnp.int32(0x632BE5AB)
+        for i in range(n_layers):
+            x_ = fused_bert_layer(
+                geom, x_, enc_, smask_, emask_, seeds_[i], None,
+                *ws[i * n_per:(i + 1) * n_per],
+            )
+        return x_
+
+    if has_cross:
+        fn, enc_in, emask_in = local, enc, emask
+        enc_spec = emask_spec = dp
+    else:
+        def fn(x_, smask_, _e, _m, seeds_, *ws):
+            return local(x_, smask_, None, None, seeds_, *ws)
+
+        enc_in = emask_in = jnp.zeros((), jnp.int32)  # placeholder leaves
+        enc_spec = emask_spec = P()
+
+    in_specs = (dp, dp, enc_spec, emask_spec, P()) + (P(),) * len(flat_w)
+    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=dp)
+    try:
+        mapped = shard_map(fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        mapped = shard_map(fn, check_rep=False, **kwargs)
+    return mapped(x, smask, enc_in, emask_in, seeds, *flat_w)
 
 
 class BertModel(nn.Module):

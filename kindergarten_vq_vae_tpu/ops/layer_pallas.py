@@ -176,13 +176,14 @@ def _ln_bwd(gy, yhat, inv, gamma):
 
 
 # erf(x) ~ tanh(p(x)) with p an odd degree-13 polynomial, fitted with the
-# tanh-sensitivity weight (1 - erf^2) so tail error is suppressed; max abs
-# error 6.8e-8 over the real line (tighter than A&S 7.1.26's 1.5e-7, and
-# with no division or exp — one hardware tanh + 6 FMAs on the VPU).
+# tanh-sensitivity weight (1 - erf^2) and Lawson-iterated toward minimax;
+# max abs error 5.8e-8 in exact arithmetic (tighter than A&S 7.1.26's
+# 1.5e-7), ~1.5e-7 when the Horner chain is evaluated in f32 (rounding-
+# dominated). No division or exp — one hardware tanh + 6 FMAs on the VPU.
 # p grows past atanh's pole for |x| > ~4, where tanh saturates to +-1 = erf.
-_ERF_P = (1.1283794351e+00, 1.0276823019e-01, -1.9127931254e-04,
-          -6.1921146244e-04, 8.7057155888e-05, -5.5182732618e-06,
-          1.3026940243e-07)
+_ERF_P = (1.1283797055e+00, 1.0276548145e-01, -1.8438367938e-04,
+          -6.2571958331e-04, 8.9712590414e-05, -5.9856910908e-06,
+          1.5896024415e-07)
 
 
 def _erf_p(z2):

@@ -151,6 +151,12 @@ class RunConfig:
     n_epochs_to_decode_after: int = 5
     runs_dir: str = "./runs"
     export_checkpoint: bool = True
+    # crash-safe resume (new capability — the reference flags resume as a
+    # TODO, models/bagon/main.py:155): every N epochs fit() overwrites
+    # <run_dir>/resume_state (params + optimizer state + step + EMA) and
+    # resume_meta.json (epoch, best trackers, history). 0 disables.
+    # Restart with --resume <run_dir> (models/_cli.py).
+    resume_save_every_n_epochs: int = 0
     seed: int = 0
     # PRNG implementation for in-step randomness (dropout/gumbel/perturb).
     # 'rbg' generates bits much faster on TPU (~12% step speedup at bert-base

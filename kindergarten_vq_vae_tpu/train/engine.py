@@ -60,6 +60,22 @@ class TrainState(NamedTuple):
     dead_steps: Optional[jnp.ndarray] = None  # (n_e,) dead-code counters
 
 
+def _stacked_norms(tree):
+    """(dotted leaf names, one stacked (n_leaves,) vector of L2 norms).
+    One device array instead of ~200 per-leaf scalars: the epoch logger
+    materializes it with a SINGLE host sync (each float() of a separate
+    scalar costs a ~1 ms tunnel round-trip on this TPU)."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(tree)
+    names = [".".join(p) for p in flat.keys()]
+    vec = jnp.stack(
+        [jnp.sqrt(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+         for leaf in flat.values()]
+    )
+    return names, vec
+
+
 def _prefetch(iterator, put_fn, depth: int = 2):
     """Host->device double buffering: stage the next batch's transfer while
     the current step runs (async dispatch makes device_put non-blocking)."""
@@ -148,6 +164,13 @@ class Engine:
         }
         self.decoded_sentences: list[dict] = []
         self.history: list[dict] = []
+        # wandb.watch plumbing (built lazily on first watched epoch log)
+        self._watch_names: list[str] | None = None
+        self._param_norms_fn = None
+        # resume bookkeeping (populated by restore_resume)
+        self._start_epoch = 1
+        self._best_train: dict | None = None
+        self._best_val: dict | None = None
 
     # ------------------------------------------------------------------ steps
 
@@ -171,15 +194,11 @@ class Engine:
             if self.cfg.wandb_watch_model:
                 # functional stand-in for wandb.watch(model, log='all')
                 # (models/bagon/main.py:117-118): global gradient norm plus
-                # per-layer gradient norms (wandb.watch's per-parameter
-                # histograms reduced to their norms — cheap on-device)
+                # per-parameter gradient norms (wandb.watch's histograms
+                # reduced to norms — cheap on-device), returned as ONE
+                # stacked vector so the epoch logger syncs once
                 aux["grad_norm"] = optax.global_norm(grads)
-                from flax import traverse_util
-
-                aux["watch_grads"] = {
-                    ".".join(path): jnp.sqrt(jnp.sum(jnp.square(g.astype(jnp.float32))))
-                    for path, g in traverse_util.flatten_dict(grads).items()
-                }
+                aux["watch_grads"] = _stacked_norms(grads)[1]
             updates, opt_state = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             ema = state.ema
@@ -295,9 +314,7 @@ class Engine:
                 run.setdefault("grad_norm", jnp.zeros((), jnp.float32))
                 run["grad_norm"] = run["grad_norm"] + aux["grad_norm"]
             if "watch_grads" in aux:
-                acc = run.setdefault("watch_grads", {})
-                for k, v in aux["watch_grads"].items():
-                    acc[k] = acc.get(k, jnp.zeros((), jnp.float32)) + v
+                run["watch_grads"] = run.get("watch_grads", 0.0) + aux["watch_grads"]
         stats = {}
         for k in stat_keys:
             denom = n_steps if k == "padding_tokens_pct" else max(n_els, 1)
@@ -305,9 +322,8 @@ class Engine:
         if "grad_norm" in run:
             stats["grad_norm"] = float(run["grad_norm"]) / max(n_steps, 1)
         if "watch_grads" in run:
-            stats["watch_grads"] = {
-                k: float(v) / max(n_steps, 1) for k, v in run["watch_grads"].items()
-            }
+            # single host materialization of the whole stacked-norms vector
+            stats["watch_grads"] = np.asarray(run["watch_grads"]) / max(n_steps, 1)
         # clock stops only after the stats above are materialized on the host,
         # so the throughput includes the device draining every queued step
         elapsed = time.perf_counter() - t0
@@ -371,13 +387,47 @@ class Engine:
             step=tree["step"], dead_steps=tree.get("dead_steps"),
         )
 
+    def save_resume(self, epoch: int, best_train: dict, best_val: dict) -> None:
+        """Overwrite <run_dir>/resume_state + resume_meta.json. Everything a
+        continuation needs beyond the train state is in the meta: the epoch
+        reached, the best-stat trackers (so checkpoint gating continues
+        correctly) and the stats history."""
+        if not self.run_path:
+            return
+        self.save_state(os.path.join(self.run_path, "resume_state"))
+        meta = {
+            "epoch": epoch,
+            "best_train": {k: float(v) for k, v in best_train.items()},
+            "best_val": {k: float(v) for k, v in best_val.items()},
+            "history": self.history,
+        }
+        tmp = os.path.join(self.run_path, "resume_meta.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(self.run_path, "resume_meta.json"))
+
+    def restore_resume(self, run_dir: str | None = None) -> int:
+        """Restore a run saved by save_resume; returns the next epoch to run.
+        The RNG streams (dropout/perturb/shuffle) are keyed by (seed, epoch,
+        step), so a resumed run reproduces the exact trajectory an
+        uninterrupted run would have taken."""
+        run_dir = run_dir or self.run_path
+        self.restore_state(os.path.join(run_dir, "resume_state"))
+        with open(os.path.join(run_dir, "resume_meta.json")) as f:
+            meta = json.load(f)
+        self._best_train = meta["best_train"]
+        self._best_val = meta["best_val"]
+        self.history = meta["history"]
+        self._start_epoch = int(meta["epoch"]) + 1
+        return self._start_epoch
+
     def fit(self, wandb_run=None, console_print: bool = True):
         cfg = self.cfg
         iters = self._iterators()
-        best_train = self._init_best()
-        best_val = self._init_best()
+        best_train = self._best_train or self._init_best()
+        best_val = self._best_val or self._init_best()
 
-        for epoch in range(1, cfg.n_epochs + 1):
+        for epoch in range(self._start_epoch, cfg.n_epochs + 1):
             iters["train"].set_epoch(epoch)
             decode = (epoch % cfg.n_epochs_to_decode_after) == 0
 
@@ -399,6 +449,9 @@ class Engine:
             self._checkpoint(flags_val, "val")
 
             self.history.append({"epoch": epoch, "train": stats_train, "val": stats_val})
+            cadence = cfg.resume_save_every_n_epochs
+            if cadence > 0 and (epoch % cadence) == 0:
+                self.save_resume(epoch, best_train, best_val)
         return self.history
 
     def test(self, wandb_run=None, console_print: bool = True, reload_best: bool = True):
@@ -465,15 +518,20 @@ class Engine:
                 log[f"{stage}/grad_norm"] = stats["grad_norm"]
             if "watch_grads" in stats:
                 # wandb.watch(log='all') key style: gradients/<dotted path>
-                # and parameters/<dotted path> (norms instead of histograms)
-                for k, v in stats["watch_grads"].items():
-                    log[f"gradients/{k}"] = v
-                from flax import traverse_util
-
-                for path, p_leaf in traverse_util.flatten_dict(self.state.params).items():
-                    log["parameters/" + ".".join(path)] = float(
-                        jnp.sqrt(jnp.sum(jnp.square(p_leaf.astype(jnp.float32))))
+                # and parameters/<dotted path> (norms instead of histograms).
+                # Both sides arrive as stacked vectors: one jitted reduction +
+                # one np.asarray sync each, not ~200 per-leaf float() calls.
+                if self._param_norms_fn is None:
+                    self._watch_names = _stacked_norms(self.state.params)[0]
+                    self._param_norms_fn = jax.jit(
+                        lambda p: _stacked_norms(p)[1],
+                        compiler_options=tpu_compiler_options(),
                     )
+                for k, v in zip(self._watch_names, stats["watch_grads"]):
+                    log[f"gradients/{k}"] = float(v)
+                pvec = np.asarray(self._param_norms_fn(self.state.params))
+                for k, v in zip(self._watch_names, pvec):
+                    log[f"parameters/{k}"] = float(v)
             for k in STAT_KEYS[self.model_name]:
                 if k == "padding_tokens_pct":
                     log[f"padding_tokens_pct/{stage}"] = stats[k]

@@ -157,12 +157,22 @@ def maybe_log_code(cfg: RunConfig, wandb_run):
             pass
 
 
-def run_training(cfg: RunConfig, console_print: bool = True):
-    """The full reference main() contract. Returns the Engine."""
+def run_training(cfg: RunConfig, console_print: bool = True,
+                 resume_from: str | None = None):
+    """The full reference main() contract. Returns the Engine.
+
+    ``resume_from``: path to an existing run dir holding a
+    ``resume_state``/``resume_meta.json`` pair written by a previous run
+    (cfg.resume_save_every_n_epochs > 0); training continues IN that run
+    dir from the saved epoch with identical trajectory."""
     splits, tokenizer = load_data(cfg)
-    run_path = make_run_dir(cfg)
+    run_path = resume_from if resume_from else make_run_dir(cfg)
 
     engine = Engine(cfg, splits, tokenizer=tokenizer, run_path=run_path)
+    if resume_from:
+        start = engine.restore_resume(resume_from)
+        if console_print:
+            print(f"[run] resumed {resume_from} at epoch {start}")
 
     run_conf = cfg.get_config()
     run_conf["run_id"] = os.path.basename(run_path)
@@ -173,9 +183,10 @@ def run_training(cfg: RunConfig, console_print: bool = True):
             if k in ("encoder", "decoder")
         }
     )
-    cfg.save(os.path.join(run_path, "run_conf.json"), extra={
-        "run_id": run_conf["run_id"], "n_params": run_conf["n_params"],
-    })
+    if not resume_from:
+        cfg.save(os.path.join(run_path, "run_conf.json"), extra={
+            "run_id": run_conf["run_id"], "n_params": run_conf["n_params"],
+        })
 
     wandb_run = init_wandb(cfg, run_conf)
     maybe_log_code(cfg, wandb_run)

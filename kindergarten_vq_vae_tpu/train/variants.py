@@ -35,7 +35,7 @@ _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
 def _resolve_auto_flag(value: str, mesh) -> bool:
     """'auto' -> on for single-device TPU only (interpret mode is slow on
-    CPU; custom calls aren't auto-partitionable under a GSPMD mesh)."""
+    CPU; these custom calls aren't auto-partitionable under a GSPMD mesh)."""
     if value == "on":
         return True
     if value == "off":
@@ -43,6 +43,20 @@ def _resolve_auto_flag(value: str, mesh) -> bool:
     import jax as _jax
 
     return _jax.default_backend() == "tpu" and mesh is None
+
+
+def _resolve_fused_layer(value: str, mesh) -> bool:
+    """'auto' -> on for TPU, with OR without a mesh: under a mesh the trunk
+    runs dp-sharded via shard_map (nn/bert._fused_trunk_sharded), so
+    multi-chip training keeps the fused-kernel step time. Off on CPU
+    (interpret mode is slow); force 'on' for CPU-mesh parity tests."""
+    if value == "on":
+        return True
+    if value == "off":
+        return False
+    import jax as _jax
+
+    return _jax.default_backend() == "tpu"
 
 
 def _resolve_fused_attn(m, mesh) -> bool:
@@ -69,7 +83,8 @@ def bert_configs(cfg: RunConfig, mesh=None):
         remat=m.remat,
         fused_sdpa=_resolve_fused_attn(m, mesh),
         sdpa_block_b=m.sdpa_block_b,
-        fused_layer=_resolve_auto_flag(m.fused_layer, mesh),
+        fused_layer=_resolve_fused_layer(m.fused_layer, mesh),
+        mesh=mesh if _resolve_fused_layer(m.fused_layer, mesh) else None,
         layer_block_b_fwd=m.layer_block_b_fwd,
         layer_block_b_bwd=m.layer_block_b_bwd,
         layer_attn_chunk=m.layer_attn_chunk,

@@ -1,9 +1,10 @@
 """Compile-option helpers for TPU jits.
 
-The fused whole-layer kernels (ops/layer_pallas.py) run under a lax.scan
-over layers; XLA's buffer assignment then places the backward kernel's
-output buffers (dx + the per-layer dW slices, ~40 MB at bert-base) in VMEM
-inside the while-loop body, which trips the default 16 MiB scoped-vmem
+The fused whole-layer kernels (ops/layer_pallas.py) run as an unrolled
+per-layer loop (a rolled lax.scan was measured slower and removed); XLA's
+buffer assignment still places the backward kernel's output buffers (dx +
+the per-layer dW accumulators, ~40 MB at bert-base) in VMEM around the
+kCustom fusions, which trips the default 16 MiB scoped-vmem
 limit. The limit is a proto-backed XLA option, so it can be raised
 per-compile via jax.jit(compiler_options=...) — the env-var route
 (XLA_FLAGS) does NOT work here: the client-side parser rejects TPU-only
@@ -19,10 +20,10 @@ import jax
 
 SCOPED_VMEM_KIB = int(os.environ.get("KVT_SCOPED_VMEM_KIB", "121500"))
 # ~118.7 MiB default (the 384-row bwd tile needs ~118 MiB and the rest of
-# the program ~9 MiB of the chip's 128 MiB). Under lax.scan
-# the fused-layer custom calls are wrapped in kCustom fusions governed by
-# THIS limit (the per-kernel pallas vmem_limit_bytes is not consulted), and
-# the backward kernel at TB=16 needs ~70-100 MiB.
+# the program ~9 MiB of the chip's 128 MiB). The fused-layer custom calls
+# are wrapped in kCustom fusions governed by THIS limit (the per-kernel
+# pallas vmem_limit_bytes is not consulted), and the backward kernel at
+# TB=16 needs ~70-100 MiB.
 
 
 def tpu_compiler_options() -> dict:

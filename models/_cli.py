@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import argparse
 import ast
+import os
 
 from kindergarten_vq_vae_tpu.train.config import RunConfig
 from kindergarten_vq_vae_tpu.train.run import run_training
@@ -34,10 +35,16 @@ def main(model_name: str, defaults: dict | None = None):
     parser.add_argument("--config", default=None, help="path to a run_conf.json-style config")
     parser.add_argument("--set", action="append", default=[], metavar="KEY=VALUE",
                         help="override any config field (repeatable)")
+    parser.add_argument("--resume", default=None, metavar="RUN_DIR",
+                        help="continue a killed run from RUN_DIR/resume_state "
+                             "(written when resume_save_every_n_epochs > 0); "
+                             "the config defaults to RUN_DIR/run_conf.json")
     args = parser.parse_args()
 
     if args.config:
         cfg = RunConfig.load(args.config)
+    elif args.resume:
+        cfg = RunConfig.load(os.path.join(args.resume, "run_conf.json"))
     else:
         cfg = RunConfig()
     flat = cfg.get_config()
@@ -47,4 +54,4 @@ def main(model_name: str, defaults: dict | None = None):
     cfg = RunConfig.from_flat_dict(flat)
     cfg = _apply_overrides(cfg, args.set)
 
-    run_training(cfg)
+    run_training(cfg, resume_from=args.resume)

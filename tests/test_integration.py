@@ -86,6 +86,69 @@ def test_analyses_on_trained_run(trained_run):
     assert len(df) == len(engine.decoded_sentences)
 
 
+def _cli(module, argv, monkeypatch):
+    """Invoke an analysis module's _main() with a patched argv — the same
+    code path as ``python -m kindergarten_vq_vae_tpu.analyses.<name>``."""
+    import sys
+
+    monkeypatch.setattr(sys, "argv", ["prog"] + argv)
+    module._main()
+
+
+def test_analyses_cli_entrypoints(trained_run, monkeypatch, capsys):
+    """Every analysis is runnable as a run-dir script (the reference ships
+    each as a standalone script, e.g. analyses/latent_arithmetics/
+    latent_arithmetics_Bagon.py) — max_acc, arithmetic and latent_space on
+    the shelgon3 run."""
+    from kindergarten_vq_vae_tpu.analyses import arithmetic, latent_space, max_acc
+
+    cfg, engine = trained_run
+    rp = engine.run_path
+
+    _cli(max_acc, [rp, "--threshold", "-1.0"], monkeypatch)
+    assert os.path.exists(os.path.join(rp, "max_acc_sentences.feather"))
+
+    _cli(arithmetic, [rp, "--mode", "bagon", "--factor", "verb_tense",
+                      "--a", "present", "--b", "past", "--n", "8"], monkeypatch)
+    out_json = os.path.join(rp, "latent_arithmetic_bagon.json")
+    assert os.path.exists(out_json)
+    with open(out_json) as f:
+        res = json.load(f)
+    assert res["base_recon_ids"] and res["shifted_recon_ids"]
+
+    _cli(latent_space, [rp, "--batch-size", "64"], monkeypatch)
+    assert os.path.exists(os.path.join(rp, f"sentence_latent_reps_test.npy"))
+    out = capsys.readouterr().out
+    assert "combos plotted" in out
+
+
+def test_traversals_cli_entrypoint(tmp_path_factory, monkeypatch):
+    """Traversal CLI on a (tiny) shelgon latent-class run — the model family
+    the reference's traversal script targets."""
+    from kindergarten_vq_vae_tpu.analyses import traversals
+
+    tmp = tmp_path_factory.mktemp("trav")
+    cfg = RunConfig(
+        model=ModelConfig(
+            model_name="shelgon", vocab_size=128, hidden_size=32, num_layers=2,
+            num_heads=2, intermediate_size=64, compute_dtype="float32",
+            emb_size=32,
+        ),
+        data=DataConfig(
+            data_dir=str(tmp / "data"), batch_size=32, tokenized_sentence_max_length=12,
+            lim_batches_train_pct=0.03, lim_batches_val_pct=0.05, lim_batches_test_pct=0.05,
+        ),
+        optim=OptimConfig(lr=1e-3),
+        n_epochs=1, n_epochs_to_decode_after=1, runs_dir=str(tmp / "runs"),
+    )
+    engine = run_training(cfg, console_print=False)
+    out = str(tmp / "traversals.json")
+    _cli(traversals, [engine.run_path, "--n", "4", "--out", out], monkeypatch)
+    with open(out) as f:
+        res = json.load(f)
+    assert res["traversed_recon_ids"] and res["original_recon_ids"]
+
+
 def test_remat_engine(trained_run, tmp_path):
     """remat config trains with finite loss (memory-for-FLOPs trade)."""
     cfg, _ = trained_run

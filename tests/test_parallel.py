@@ -252,3 +252,90 @@ def test_fused_vq_engine_wired_per_shard():
     with mesh:
         loss_mesh, _ = jax.jit(lambda p, b: loss_fn(p, b, rngs, True))(params_sh, batch_sh)
     np.testing.assert_allclose(float(loss_single), float(loss_mesh), rtol=1e-5)
+
+
+def test_fused_trunk_sharded_matches_oracle():
+    """VERDICT r2 #1: with fused_layer on under a mesh, the whole trunk runs
+    dp-sharded via ONE shard_map per trunk (nn/bert._fused_trunk_sharded).
+    Loss AND parameter gradients must match the unfused single-device oracle,
+    and the compiled HLO must contain no all-gather of the batch activations
+    (weights enter replicated; only their grad reduction may communicate)."""
+    import dataclasses
+    import re
+
+    fused_kw = dict(fused_layer="on", layer_block_b_fwd=8, layer_block_b_bwd=8,
+                    layer_attn_chunk=4)
+    cfg_fused = _cfg(**fused_kw)
+    cfg_oracle = _cfg()
+    mesh = make_mesh((4, 2), ("dp", "tp"))
+    params = init_params(cfg_oracle, jax.random.key(0))
+
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "input_ids": rng.integers(1, 256, (8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+        "n_valid": np.int32(8),
+    }
+    rngs = {"dropout": jax.random.key(1), "gumbel": jax.random.key(2),
+            "perturb": jax.random.key(3)}
+
+    oracle_fn = make_loss_fn(cfg_oracle, "val")  # deterministic, unfused
+    fused_fn = make_loss_fn(cfg_fused, "val", mesh=mesh)
+
+    def L(fn):
+        return lambda p, b: fn(p, b, rngs, True)[0]
+
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    loss_single, g_single = jax.value_and_grad(L(oracle_fn))(params, batch)
+
+    params_sh = shard_params(mesh, params)
+    batch_sh = shard_batch(mesh, batch_np)
+    with mesh:
+        step = jax.jit(jax.value_and_grad(L(fused_fn)))
+        loss_mesh, g_mesh = step(params_sh, batch_sh)
+        # --- HLO: the batch activations must never be all-gathered.
+        # (tp-sharded WEIGHTS are all-gathered into the replicated kernel
+        # inputs — expected; those shapes carry no batch dims.)
+        hlo = step.lower(params_sh, batch_sh).compile().as_text()
+    np.testing.assert_allclose(float(loss_single), float(loss_mesh), rtol=2e-5)
+
+    import jax.tree_util as jtu
+
+    scale = max(float(jnp.max(jnp.abs(l))) for l in jtu.tree_leaves(g_single))
+    for (path, a), b in zip(jtu.tree_leaves_with_path(g_single), jtu.tree_leaves(g_mesh)):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-5 * scale + 1e-6, rtol=5e-3,
+            err_msg=f"grad mismatch at {jtu.keystr(path)}",
+        )
+
+    bad = [ln for ln in hlo.splitlines()
+           if "all-gather" in ln and re.search(r"\[8,12", ln)]
+    assert not bad, f"batch activations all-gathered:\n" + "\n".join(bad[:5])
+
+
+def test_fused_trunk_sharded_train_dropout_runs():
+    """Train-stage (dropout on) sharded fused trunk executes: exercises the
+    per-shard seed decorrelation (axis_index fold) inside shard_map."""
+    cfg = _cfg(fused_layer="on", layer_block_b_fwd=8, layer_block_b_bwd=8,
+               layer_attn_chunk=4)
+    mesh = make_mesh((8,), ("dp",))
+    params = init_params(cfg, jax.random.key(0))
+    loss_fn = make_loss_fn(cfg, "train", mesh=mesh)
+    rng = np.random.default_rng(0)
+    batch_np = {
+        "input_ids": rng.integers(1, 256, (8, 12)).astype(np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+        "n_valid": np.int32(8),
+    }
+    rngs = {"dropout": jax.random.key(1), "gumbel": jax.random.key(2),
+            "perturb": jax.random.key(3)}
+    params_sh = shard_params(mesh, params)
+    batch_sh = shard_batch(mesh, batch_np)
+    with mesh:
+        (loss, _), grads = jax.jit(
+            jax.value_and_grad(lambda p, b: loss_fn(p, b, rngs, False), has_aux=True)
+        )(params_sh, batch_sh)
+    assert np.isfinite(float(loss))
+    import jax.tree_util as jtu
+
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in jtu.tree_leaves(grads))
