@@ -48,10 +48,8 @@ def _example_batch(batch=BATCH, seq=SEQ, vocab=VOCAB):
 def bench_tpu_train() -> float:
     import jax
     import jax.numpy as jnp
-    import optax
 
     from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
-    from kindergarten_vq_vae_tpu.train.optim import make_optimizer
     from kindergarten_vq_vae_tpu.train.variants import init_params, make_loss_fn
 
     cfg = RunConfig(
@@ -59,8 +57,26 @@ def bench_tpu_train() -> float:
         data=DataConfig(batch_size=BATCH, tokenized_sentence_max_length=SEQ),
     )
     params = init_params(cfg, jax.random.key(0))
-    tx = make_optimizer(cfg.optim)
-    opt_state = tx.init(params)
+    # same optimizer policy as Engine: the fused Adam kernel when it
+    # resolves on, else the optax chain
+    from kindergarten_vq_vae_tpu.ops.adam_pallas import FusedAdam, resolve_fused_update
+
+    if resolve_fused_update(cfg.optim):
+        fa = FusedAdam(cfg.optim)
+        opt_state = fa.init(params)
+        update = fa.apply
+    else:
+        import optax
+
+        from kindergarten_vq_vae_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(cfg.optim)
+        opt_state = tx.init(params)
+
+        def update(grads, opt_state, params):
+            upd, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, upd), opt_state
+
     loss_fn = make_loss_fn(cfg, "train")
 
     ids, mask = _example_batch()
@@ -81,8 +97,7 @@ def bench_tpu_train() -> float:
         k1, k2, k3 = jax.random.split(key, 3)
         rngs = {"dropout": k1, "gumbel": k2, "perturb": k3}
         (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params, batch, rngs, False)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        params, opt_state = update(grads, opt_state, params)
         return params, opt_state, loss
 
     # warmup / compile; float() forces full materialization (through the TPU

@@ -13,6 +13,10 @@ from flax import linen as nn
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig, BertLMHeadModel, BertModel
 from kindergarten_vq_vae_tpu.nn.gpt2 import GPT2Config, GPT2LMHeadModel
 
+# decoder-output keys forwarded by every model wrapper: the plain logits, or
+# the fused-head triple consumed by ops/head_ce_pallas.fused_head_ce_loss
+HEAD_KEYS = ("logits", "mlm_hidden", "head_table", "head_bias")
+
 
 class Bagon(nn.Module):
     enc_cfg: BertConfig
@@ -41,7 +45,8 @@ class Bagon(nn.Module):
             output_attentions=output_attentions,
         )
         out = {
-            "logits": dec_out["logits"],
+            # logits, or (mlm_hidden, head_table, head_bias) under fused_head
+            **{k: dec_out[k] for k in HEAD_KEYS if k in dec_out},
             "encoder_last_hidden_state": enc_out["last_hidden_state"],
             "encoder_pooler_output": enc_out["pooler_output"],
         }

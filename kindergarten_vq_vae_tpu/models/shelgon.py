@@ -76,8 +76,10 @@ class Shelgon(nn.Module):
             deterministic=deterministic,
             output_attentions=output_attentions,
         )
+        from kindergarten_vq_vae_tpu.models.bagon import HEAD_KEYS
+
         out = {
-            "logits": dec_out["logits"],
+            **{k: dec_out[k] for k in HEAD_KEYS if k in dec_out},
             "pred_latent_logits": pred_latent_logits,
             "pred_latent_classes": pred_latent_classes,
             "conditioning": conditioning,

@@ -127,8 +127,10 @@ class Shelgon2(nn.Module):
             deterministic=deterministic,
             output_attentions=output_attentions,
         )
+        from kindergarten_vq_vae_tpu.models.bagon import HEAD_KEYS
+
         out = {
-            "logits": dec_out["logits"],
+            **{k: dec_out[k] for k in HEAD_KEYS if k in dec_out},
             "gen_factors_logits": gen_logits,
             "gen_factors_labels": gen_labels,
             "discretized_sentence": discretized,

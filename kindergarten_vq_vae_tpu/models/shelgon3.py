@@ -174,8 +174,10 @@ class Shelgon3(nn.Module):
             deterministic=deterministic,
             output_attentions=output_attentions,
         )
+        from kindergarten_vq_vae_tpu.models.bagon import HEAD_KEYS
+
         result = {
-            "logits": dec_out["logits"],
+            **{k: dec_out[k] for k in HEAD_KEYS if k in dec_out},
             "vq_loss": vq_loss,
             "perplexity": perplexity,
             "min_encoding_indices": indices,

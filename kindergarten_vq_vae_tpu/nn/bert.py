@@ -74,6 +74,13 @@ class BertConfig:
     # the same composition rule as ops/vq_pallas.fused_vector_quantize_sharded).
     # None = single-device pallas_call.
     mesh: Any = None
+    # fused MLM-head + CE + argmax (ops/head_ce_pallas.py): the LM-head model
+    # returns the transformed hidden states + (tied) table + bias instead of
+    # projecting to (B, S, vocab) logits; the loss fn fuses projection, NLL
+    # and argmax in one rows x vocab-tiles kernel pass. Requires tied
+    # embeddings. Set by train/variants for the loss path only — inference/
+    # analyses builders keep it off and get logits as usual.
+    fused_head: bool = False
     dtype: Any = jnp.float32  # compute dtype; params are always f32
 
     @property
@@ -576,11 +583,16 @@ class BertMLMHead(nn.Module):
     cfg: BertConfig
 
     @nn.compact
-    def __call__(self, x, word_embedding_table=None):
+    def __call__(self, x, word_embedding_table=None, project: bool = True):
         cfg = self.cfg
         x = nn.Dense(cfg.hidden_size, kernel_init=_dense_init(cfg), dtype=cfg.dtype, name="transform_dense")(x)
         x = nn.gelu(x, approximate=not cfg.gelu_exact).astype(cfg.dtype)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=cfg.dtype, name="transform_layer_norm")(x)
+        bias_param = self.param("decoder_bias", nn.initializers.zeros, (cfg.vocab_size,))
+        if not project:
+            # fused-head mode: the vocab projection happens inside the fused
+            # head+CE kernel (ops/head_ce_pallas.py); param tree unchanged
+            return x, bias_param
         if cfg.tie_word_embeddings:
             assert word_embedding_table is not None
             kernel = word_embedding_table.T.astype(cfg.dtype)
@@ -588,7 +600,7 @@ class BertMLMHead(nn.Module):
             kernel = self.param(
                 "decoder_kernel", _dense_init(cfg), (cfg.hidden_size, cfg.vocab_size)
             ).astype(cfg.dtype)
-        bias = self.param("decoder_bias", nn.initializers.zeros, (cfg.vocab_size,))
+        bias = bias_param
         # matmul in 2-D: with a 3-D (B, S, V) product XLA picks a batch-minor
         # {0,2,1} output layout and then pays a ~750 MB relayout copy to feed
         # the row-major fused-CE kernel (seen in device traces); the 2-D form
@@ -628,6 +640,14 @@ class BertLMHeadModel(nn.Module):
         word_table = None
         if cfg.tie_word_embeddings:
             word_table = bert.variables["params"]["embeddings"]["word_embeddings"]["embedding"]
-        logits = BertMLMHead(cfg, name="mlm_head")(out["last_hidden_state"], word_table)
-        out["logits"] = logits
+        if cfg.fused_head:
+            assert cfg.tie_word_embeddings, "fused_head requires a tied table"
+            hidden, bias = BertMLMHead(cfg, name="mlm_head")(
+                out["last_hidden_state"], word_table, project=False
+            )
+            out["mlm_hidden"] = hidden
+            out["head_table"] = word_table  # f32 param; the op casts in-kernel
+            out["head_bias"] = bias
+        else:
+            out["logits"] = BertMLMHead(cfg, name="mlm_head")(out["last_hidden_state"], word_table)
         return out

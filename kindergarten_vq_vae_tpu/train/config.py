@@ -95,6 +95,15 @@ class ModelConfig:
     vq_straight_through: bool = False
     vq_use_fused: bool = True            # fused Pallas kernel vs jnp oracle
     fused_ce: bool = True                # fused Pallas cross-entropy (flash-style)
+    # fused MLM-head + CE + argmax (ops/head_ce_pallas.py): the loss path
+    # never materializes (B*S, vocab) logits separately from their reductions.
+    # "store" writes the bf16 logits once from inside the fused forward (no
+    # recompute in bwd); "flash" never writes them (bwd recomputes per tile);
+    # "auto" -> the measured winner on TPU (RESULTS.md), off on CPU. Requires
+    # a BERT decoder with tied embeddings; falls back to fused_ce otherwise.
+    fused_head_ce: str = "auto"          # "auto" | "off" | "store" | "flash"
+    head_ce_block_r: int = 512           # rows per head+CE kernel tile
+    head_ce_block_v: int = 1024          # vocab columns per head+CE kernel tile
     # fused block-diagonal SDPA Pallas kernel for all attention (fwd+bwd).
     # "auto": on for single-device TPU, off on CPU (interpret is slow) and
     # under a GSPMD mesh (custom calls aren't auto-partitionable).
@@ -129,6 +138,12 @@ class OptimConfig:
     lr: float = 1e-4
     weight_decay: float = 0.0
     amsgrad: bool = True
+    # fused single-pass Adam update (ops/adam_pallas.py): one read/write pass
+    # per leaf, buffers reused via jit donation, ulp-identical to the optax
+    # chain. Only amsgrad=True is kernelized (the reference always trains
+    # with amsgrad, models/bagon/main.py:76). "auto" currently resolves OFF
+    # — see ops/adam_pallas.resolve_fused_update for the axon-crash note.
+    fused_update: str = "auto"           # "auto" | "on" | "off"
     lr_scheduler: Optional[str] = None  # None | "MultiStepLR"
     milestones: tuple = ()
     gamma: float = 0.1
@@ -176,6 +191,11 @@ class RunConfig:
     wandb_mode: str = "disabled"
     wandb_silent: str = "true"
     wandb_watch_model: bool = False
+    # full wandb.watch(log='all') fidelity: per-parameter 64-bin value AND
+    # gradient histograms per epoch (engine._log_watch_histograms) instead
+    # of the cheap per-leaf norms. Costs one extra fwd+bwd per epoch (the
+    # gradient recompute) + one extra jit compile.
+    wandb_watch_histograms: bool = False
     wandb_log_code: bool = False
     # jax.profiler trace of the first training epoch (SURVEY §5.1: the
     # reference has no tracing; empty = off)

@@ -76,6 +76,39 @@ def _stacked_norms(tree):
     return names, vec
 
 
+def _stacked_hists(tree, bins: int = 64):
+    """(dotted leaf names, (L, bins) counts, (L, 2) [lo, hi] ranges): one
+    64-bin histogram per leaf over the leaf's own [min, max] — the artifact
+    wandb.watch(log='all') produces (ref models/bagon/main.py:117-118),
+    computed on-device and materialized with a SINGLE host sync instead of
+    ~200 per-leaf tensor pulls through the ~1 ms tunnel."""
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(tree)
+    names = [".".join(p) for p in flat.keys()]
+    counts, ranges = [], []
+    for leaf in flat.values():
+        x = leaf.astype(jnp.float32).reshape(-1)
+        lo, hi = jnp.min(x), jnp.max(x)
+        hi_ = jnp.where(hi > lo, hi, lo + 1.0)  # constant leaf: 1-wide range
+        idx = jnp.clip(((x - lo) / (hi_ - lo) * bins).astype(jnp.int32), 0, bins - 1)
+        counts.append(jnp.zeros((bins,), jnp.int32).at[idx].add(1))
+        ranges.append(jnp.stack([lo, hi_]))
+    return names, jnp.stack(counts), jnp.stack(ranges)
+
+
+def _hist_payload(counts, lo, hi):
+    """wandb.Histogram when wandb is importable (it is not in this image —
+    PARITY.md), else a plain dict with the same np_histogram content."""
+    edges = np.linspace(float(lo), float(hi), len(counts) + 1)
+    try:
+        import wandb
+
+        return wandb.Histogram(np_histogram=(counts.tolist(), edges.tolist()))
+    except Exception:
+        return {"_type": "histogram", "values": counts.tolist(), "bins": edges.tolist()}
+
+
 def _prefetch(iterator, put_fn, depth: int = 2):
     """Host->device double buffering: stage the next batch's transfer while
     the current step runs (async dispatch makes device_put non-blocking)."""
@@ -140,6 +173,15 @@ class Engine:
             tie_word_embeddings=cfg.model.tie_word_embeddings,
         )
         self.tx = make_optimizer(cfg.optim, self.mask)
+        # fused single-pass Adam update (ops/adam_pallas.py): replaces
+        # tx.update + apply_updates on the TPU hot path; ulp-identical
+        self._fused_opt = None
+        from kindergarten_vq_vae_tpu.ops.adam_pallas import resolve_fused_update
+
+        if resolve_fused_update(cfg.optim, self.mesh):
+            from kindergarten_vq_vae_tpu.ops.adam_pallas import FusedAdam
+
+            self._fused_opt = FusedAdam(cfg.optim, self.mask)
 
         ema = None
         if cfg.model.model_name == "shelgon3" and cfg.model.vq_ema_update:
@@ -151,7 +193,8 @@ class Engine:
             dead_steps = jnp.zeros((cfg.model.vq_n_e,), jnp.int32)
         self.state = TrainState(
             params=self.params,
-            opt_state=self.tx.init(self.params),
+            opt_state=(self._fused_opt.init(self.params) if self._fused_opt
+                       else self.tx.init(self.params)),
             ema=ema,
             step=jnp.zeros((), jnp.int32),
             dead_steps=dead_steps,
@@ -167,6 +210,9 @@ class Engine:
         # wandb.watch plumbing (built lazily on first watched epoch log)
         self._watch_names: list[str] | None = None
         self._param_norms_fn = None
+        self._param_hist_fn = None
+        self._grad_hist_fn = None
+        self._last_train_batch = None  # (device_batch, key) for grad hists
         # resume bookkeeping (populated by restore_resume)
         self._start_epoch = 1
         self._best_train: dict | None = None
@@ -199,8 +245,13 @@ class Engine:
                 # stacked vector so the epoch logger syncs once
                 aux["grad_norm"] = optax.global_norm(grads)
                 aux["watch_grads"] = _stacked_norms(grads)[1]
-            updates, opt_state = tx.update(grads, state.opt_state, state.params)
-            params = optax.apply_updates(state.params, updates)
+            if self._fused_opt is not None:
+                params, opt_state = self._fused_opt.apply(
+                    grads, state.opt_state, state.params
+                )
+            else:
+                updates, opt_state = tx.update(grads, state.opt_state, state.params)
+                params = optax.apply_updates(state.params, updates)
             ema = state.ema
             if use_ema:
                 codebook = params["vector_quantizer"]["codebook"]
@@ -298,6 +349,8 @@ class Engine:
             if stage == "train":
                 self.state, aux = self._train_step(self.state, device_batch, key)
                 params = self.state.params
+                if self.cfg.wandb_watch_histograms:
+                    self._last_train_batch = (device_batch, key)
             else:
                 aux = self._eval_steps[stage](params, device_batch, key)
             for k in stat_keys:
@@ -352,6 +405,40 @@ class Engine:
             self.decoded_sentences.append(row)
 
     # ------------------------------------------------------------------ public
+
+    def _log_watch_histograms(self, log: dict) -> None:
+        """Full wandb.watch(log='all') fidelity: 64-bin per-parameter value
+        AND gradient histograms (ref models/bagon/main.py:117-118), under the
+        watch key style gradients/<dotted path> / parameters/<dotted path>.
+        Gradients come from ONE extra fwd+bwd on the epoch's last train batch
+        (instantaneous-histogram semantics, like watch's log_freq sampling);
+        both sides are computed on-device and materialized in two syncs."""
+        if self._watch_names is None:
+            self._watch_names = _stacked_norms(self.state.params)[0]
+        if self._param_hist_fn is None:
+            self._param_hist_fn = jax.jit(
+                lambda p: _stacked_hists(p)[1:],
+                compiler_options=tpu_compiler_options(),
+            )
+            loss_fn = make_loss_fn(self.cfg, "train", mesh=self.mesh)
+
+            def gh(params, batch, key):
+                rngs = self._rngs(key)
+                _, grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, batch, rngs, False
+                )
+                return _stacked_hists(grads)[1:]
+
+            self._grad_hist_fn = jax.jit(
+                gh, compiler_options=tpu_compiler_options())
+
+        pc, pr = self._param_hist_fn(self.state.params)
+        batch, key = self._last_train_batch
+        gc, gr = self._grad_hist_fn(self.state.params, batch, key)
+        pc, pr, gc, gr = (np.asarray(x) for x in (pc, pr, gc, gr))
+        for i, name in enumerate(self._watch_names):
+            log[f"parameters/{name}"] = _hist_payload(pc[i], pr[i, 0], pr[i, 1])
+            log[f"gradients/{name}"] = _hist_payload(gc[i], gr[i, 0], gr[i, 1])
 
     def save_state(self, path: str) -> None:
         """Resume bundle: params + optimizer state + step (+ EMA).
@@ -516,9 +603,10 @@ class Engine:
             log = {"epoch": epoch}
             if "grad_norm" in stats:
                 log[f"{stage}/grad_norm"] = stats["grad_norm"]
-            if "watch_grads" in stats:
+            if "watch_grads" in stats and not self.cfg.wandb_watch_histograms:
                 # wandb.watch(log='all') key style: gradients/<dotted path>
-                # and parameters/<dotted path> (norms instead of histograms).
+                # and parameters/<dotted path> (norms instead of histograms;
+                # set wandb_watch_histograms for the full-fidelity artifact).
                 # Both sides arrive as stacked vectors: one jitted reduction +
                 # one np.asarray sync each, not ~200 per-leaf float() calls.
                 if self._param_norms_fn is None:
@@ -532,6 +620,9 @@ class Engine:
                 pvec = np.asarray(self._param_norms_fn(self.state.params))
                 for k, v in zip(self._watch_names, pvec):
                     log[f"parameters/{k}"] = float(v)
+            if (self.cfg.wandb_watch_histograms and stage == "train"
+                    and self._last_train_batch is not None):
+                self._log_watch_histograms(log)
             for k in STAT_KEYS[self.model_name]:
                 if k == "padding_tokens_pct":
                     log[f"padding_tokens_pct/{stage}"] = stats[k]

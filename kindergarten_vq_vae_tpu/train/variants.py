@@ -22,7 +22,11 @@ import numpy as np
 from kindergarten_vq_vae_tpu.models import Bagon, Shelgon, Shelgon2, Shelgon3
 from kindergarten_vq_vae_tpu.nn.bert import BertConfig
 from kindergarten_vq_vae_tpu.train.config import RunConfig
-from kindergarten_vq_vae_tpu.ops.ce_pallas import fused_ce_loss
+from kindergarten_vq_vae_tpu.ops.ce_pallas import fused_ce_loss_ids
+from kindergarten_vq_vae_tpu.ops.head_ce_pallas import (
+    fused_head_ce_loss,
+    fused_head_ce_loss_sharded,
+)
 from kindergarten_vq_vae_tpu.train.losses import kl_onehot_loss, kl_recon_loss
 from kindergarten_vq_vae_tpu.utils.metrics import padding_tokens_pct, seq_acc
 from kindergarten_vq_vae_tpu.utils.tensor import (
@@ -63,7 +67,26 @@ def _resolve_fused_attn(m, mesh) -> bool:
     return _resolve_auto_flag(m.fused_attn, mesh)
 
 
-def bert_configs(cfg: RunConfig, mesh=None):
+def _resolve_head_ce(cfg: RunConfig, mesh) -> str | None:
+    """Fused head+CE mode for the loss path, or None for the logits path.
+    Requires a BERT decoder with tied embeddings (the vocab projection must
+    be the tied table for the in-kernel recompute/projection). Works under a
+    mesh via the shard_map wrapper. 'auto' -> measured winner on TPU
+    (RESULTS.md), off on CPU (interpret-mode kernels are slow)."""
+    m = cfg.model
+    v = m.fused_head_ce
+    if v == "off":
+        return None
+    if "gpt" in m.decoder_model_name or not m.tie_word_embeddings:
+        return None
+    if v in ("store", "flash"):
+        return v
+    import jax as _jax
+
+    return "store" if _jax.default_backend() == "tpu" else None
+
+
+def bert_configs(cfg: RunConfig, mesh=None, fused_head: bool = False):
     """(encoder BertConfig, decoder BertConfig-or-GPT2Config).
 
     A 'gpt' decoder_model_name selects the GPT-2 decoder, mirroring the
@@ -109,6 +132,7 @@ def bert_configs(cfg: RunConfig, mesh=None):
     else:
         dec = BertConfig(
             is_decoder=True, add_cross_attention=True, add_pooler=False,
+            fused_head=fused_head,
             **{**common, "vocab_size": dec_vocab},
         )
     return enc, dec
@@ -122,8 +146,8 @@ def _load_codebook_init(cfg: RunConfig):
     return jnp.asarray(data)
 
 
-def build_model(cfg: RunConfig, stage: str = "train", mesh=None):
-    enc, dec = bert_configs(cfg, mesh=mesh)
+def build_model(cfg: RunConfig, stage: str = "train", mesh=None, fused_head: bool = False):
+    enc, dec = bert_configs(cfg, mesh=mesh, fused_head=fused_head)
     m = cfg.model
     name = m.model_name
     if name == "bagon":
@@ -194,15 +218,39 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
 
     When ``mesh`` (with a "dp" axis) is given, the fused VQ kernel runs
     per-shard via shard_map inside the model (NEXT.md #5)."""
-    model = build_model(cfg, stage, mesh=mesh)
+    head_mode = _resolve_head_ce(cfg, mesh)
+    model = build_model(cfg, stage, mesh=mesh, fused_head=head_mode is not None)
     name = cfg.model.model_name
     o = cfg.optim
     vocab = cfg.model.vocab_size
     dec_vocab = cfg.model.decoder_vocab_size or vocab
-    recon_loss = fused_ce_loss if cfg.model.fused_ce else kl_recon_loss
     enc_pct = getattr(cfg, f"encoder_perturb_{stage}_pct")
     dec_pct = getattr(cfg, f"decoder_perturb_{stage}_pct")
     is_training = stage == "train"
+    br, bv = cfg.model.head_ce_block_r, cfg.model.head_ce_block_v
+
+    dp = ()
+    if mesh is not None:
+        from kindergarten_vq_vae_tpu.parallel.mesh import dp_axes
+
+        dp = dp_axes(mesh)
+
+    def _recon(out, target_ids, valid):
+        """(loss_recon, recon_ids) — the fused head+CE+argmax kernel when
+        resolved on (never a separate logits materialization/argmax pass),
+        else the streaming CE(+argmax) kernel over XLA logits, else the
+        pure-XLA custom-VJP loss (always GSPMD-partitionable)."""
+        if head_mode is not None:
+            args = (out["mlm_hidden"], out["head_table"], out["head_bias"],
+                    target_ids, valid)
+            if mesh is not None and dp:
+                return fused_head_ce_loss_sharded(
+                    *args, mesh, dp, head_mode, br, bv)
+            return fused_head_ce_loss(*args, None, head_mode, br, bv)
+        logits = out["logits"]
+        if cfg.model.fused_ce and mesh is None:
+            return fused_ce_loss_ids(logits, target_ids, valid)
+        return kl_recon_loss(logits, target_ids, valid), jnp.argmax(logits, axis=-1)
 
     def bagon_loss(params, batch, rngs, deterministic):
         valid = _valid_row(batch)
@@ -220,8 +268,7 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
             deterministic=deterministic,
             rngs={k: v for k, v in rngs.items() if k != "perturb"},
         )
-        loss_recon = recon_loss(out["logits"], dec_ids, valid)
-        recon_ids = jnp.argmax(out["logits"], axis=-1)
+        loss_recon, recon_ids = _recon(out, dec_ids, valid)
         acc, acc_per_sentence = seq_acc(recon_ids, dec_ids)
         aux = {
             "loss_recon": loss_recon,
@@ -257,10 +304,9 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
         # NOTE parity: the reference's recon target is the *unperturbed*
         # decoder ids in shelgon (Trainer.py:117-121 uses input_ids_decoder,
         # not the perturbed copy)
-        loss_recon = recon_loss(out["logits"], dec_src, valid)
+        loss_recon, recon_ids = _recon(out, dec_src, valid)
         loss_pred = kl_onehot_loss(out["pred_latent_logits"], batch["one_hot"], valid)
         loss_full = loss_recon + loss_pred
-        recon_ids = jnp.argmax(out["logits"], axis=-1)
         acc, acc_per_sentence = seq_acc(recon_ids, dec_src)
         pred_labels = jnp.argmax(out["pred_latent_classes"], axis=-1)
         acc_pred, _ = seq_acc(pred_labels, batch["labels"])
@@ -286,7 +332,7 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
             deterministic=deterministic,
             rngs=rngs,
         )
-        loss_recon = recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_recon, recon_ids = _recon(out, batch["input_ids"], valid)
         # latent logits come out (B, 3, F); the reference permutes to (B, F, 3)
         # before the loss (shelgon2/Trainer.py:95)
         latent_logits = jnp.transpose(out["gen_factors_logits"], (0, 2, 1))
@@ -294,7 +340,6 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
         loss_recon = loss_recon * o.loss_recon_rescale_factor * o.loss_recon_weight
         loss_latent = loss_latent * o.loss_latent_rescale_factor * o.loss_latent_weight
         loss_full = loss_recon + loss_latent
-        recon_ids = jnp.argmax(out["logits"], axis=-1)
         acc, acc_per_sentence = seq_acc(recon_ids, batch["input_ids"])
         acc_latent, _ = seq_acc(out["gen_factors_labels"], batch["labels8"])
         aux = {
@@ -321,11 +366,10 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
             is_training=is_training,
             rngs=rngs,
         )
-        loss_recon = recon_loss(out["logits"], batch["input_ids"], valid)
+        loss_recon, recon_ids = _recon(out, batch["input_ids"], valid)
         loss_recon = loss_recon * o.loss_recon_rescale_factor * o.loss_recon_weight
         loss_vq = out["vq_loss"] * o.loss_vq_rescale_factor * o.loss_vq_weight
         loss_full = loss_recon + loss_vq
-        recon_ids = jnp.argmax(out["logits"], axis=-1)
         acc, acc_per_sentence = seq_acc(recon_ids, batch["input_ids"])
         aux = {
             "loss_recon": loss_recon,

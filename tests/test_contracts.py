@@ -205,3 +205,30 @@ def test_cli_end_to_end_subprocess(tmp_path):
     run_dir = tmp_path / "runs" / runs[0]
     assert (run_dir / "run_conf.json").exists()
     assert any(p.startswith("bagon_ckpt_") for p in os.listdir(run_dir))
+
+
+def test_wandb_watch_histograms(splits):
+    """wandb_watch_histograms=True: full wandb.watch(log='all') fidelity —
+    64-bin per-parameter value AND gradient histograms under the watch key
+    style (ref models/bagon/main.py:117-118; wandb absent here, so the
+    payload is the plain np_histogram dict)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(_tiny_cfg("bagon"), wandb_watch_model=True,
+                              wandb_watch_histograms=True)
+    eng = Engine(cfg, splits)
+    fake = FakeWandb()
+    eng.fit(wandb_run=fake, console_print=False)
+    train_log = fake.logged[0]
+    grad_keys = [k for k in train_log if k.startswith("gradients/")]
+    param_keys = [k for k in train_log if k.startswith("parameters/")]
+    assert len(grad_keys) > 20 and len(param_keys) == len(grad_keys)
+    probe = [k for k in grad_keys if "layer_0" in k and k.endswith("kernel")][0]
+    for key in (probe, "parameters/" + probe[len("gradients/"):]):
+        h = train_log[key]
+        assert h["_type"] == "histogram"
+        assert len(h["values"]) == 64 and len(h["bins"]) == 65
+        assert sum(h["values"]) > 0  # every element binned
+        assert h["bins"][0] < h["bins"][-1]
+    # histogram mode replaces the per-leaf norm floats (no key clash)
+    assert not isinstance(train_log[probe], float)
