@@ -45,12 +45,20 @@ def compute_codebook_init(
         bagon_like = RunConfig.from_flat_dict({**cfg.get_config(), "model_name": "bagon"})
         enc_params = init_params(bagon_like, jax.random.key(seed))["encoder"]
 
+    # params as a jit ARGUMENT, never a closure constant: closed-over trees
+    # lower to HLO constants and the bert-base encoder (~440 MB) blows the
+    # remote-compile payload limit (CLAUDE.md)
     @jax.jit
-    def encode(ids, mask):
+    def _encode(params, ids, mask):
         out = BertModel(enc_cfg).apply(
-            {"params": enc_params}, ids, attention_mask=mask, deterministic=True
+            {"params": params}, ids, attention_mask=mask, deterministic=True
         )
         return out["last_hidden_state"]
+
+    enc_params_dev = jax.device_put(enc_params)
+
+    def encode(ids, mask):
+        return _encode(enc_params_dev, ids, mask)
 
     chunks = []
     ids_all = train_split.input_ids

@@ -71,8 +71,15 @@ def _resolve_head_ce(cfg: RunConfig, mesh) -> str | None:
     """Fused head+CE mode for the loss path, or None for the logits path.
     Requires a BERT decoder with tied embeddings (the vocab projection must
     be the tied table for the in-kernel recompute/projection). Works under a
-    mesh via the shard_map wrapper. 'auto' -> measured winner on TPU
-    (RESULTS.md), off on CPU (interpret-mode kernels are slow)."""
+    mesh via the shard_map wrapper.
+
+    'auto' -> the measured winner (RESULTS.md round-3 A/B): on a single
+    chip the XLA head matmul + streaming ``fused_ce_loss_ids`` beats the
+    fused kernel at every tile (18.72 vs best 19.83 ms fwd+bwd at batch
+    2048), so auto resolves OFF; under a mesh the fused kernel is the only
+    path that never materializes per-shard (rows, vocab) logits, so auto
+    resolves to 'store' on TPU. Off on CPU (interpret-mode kernels are
+    slow); explicit 'store'/'flash' is always honored (tests)."""
     m = cfg.model
     v = m.fused_head_ce
     if v == "off":
@@ -83,7 +90,7 @@ def _resolve_head_ce(cfg: RunConfig, mesh) -> str | None:
         return v
     import jax as _jax
 
-    return "store" if _jax.default_backend() == "tpu" else None
+    return "store" if (mesh is not None and _jax.default_backend() == "tpu") else None
 
 
 def bert_configs(cfg: RunConfig, mesh=None, fused_head: bool = False):
