@@ -84,3 +84,42 @@ def compute_codebook_init(
     if out_path is not None:
         np.save(out_path, codebook)
     return codebook
+
+
+def _main():
+    """Runnable script contract mirroring the reference's
+    models/shelgon3/vq_codebook_init_weights.py: encode the train split with
+    a (frozen) Bagon encoder, k-means the flattened hidden states, save the
+    (n_e, hidden) init values as .npy.
+
+        python -m kindergarten_vq_vae_tpu.train.codebook_init \
+            [--bagon-ckpt RUN_DIR/bagon_ckpt_loss_recon_val_best] \
+            [--config run_conf.json] [--n-e 9] [--out codebook_init.npy]
+    """
+    import argparse
+
+    from kindergarten_vq_vae_tpu.train.run import load_data
+
+    ap = argparse.ArgumentParser(description=_main.__doc__)
+    ap.add_argument("--bagon-ckpt", default=None,
+                    help="Bagon checkpoint dir (random-init encoder if omitted)")
+    ap.add_argument("--config", default=None, help="run_conf.json for geometry")
+    ap.add_argument("--n-e", type=int, default=None)
+    ap.add_argument("--batch", type=int, default=2048)
+    ap.add_argument("--out", default="codebook_init.npy")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    cfg = RunConfig.load(args.config) if args.config else RunConfig()
+    if cfg.model.model_name != "shelgon3":
+        cfg = RunConfig.from_flat_dict({**cfg.get_config(), "model_name": "shelgon3"})
+    splits, _ = load_data(cfg)
+    cb = compute_codebook_init(
+        cfg, splits["train"], bagon_ckpt_path=args.bagon_ckpt, n_e=args.n_e,
+        batch_size=args.batch, out_path=args.out, seed=args.seed,
+    )
+    print(f"[codebook_init] saved {cb.shape} -> {args.out}")
+
+
+if __name__ == "__main__":
+    _main()

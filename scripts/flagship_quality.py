@@ -1,0 +1,129 @@
+"""Flagship-quality pipeline: bert-base Shelgon3-VQ to the reference's
+success regime, via the reference's own recipe at full geometry.
+
+Stages (ref anchors):
+1. Train a full bert-base Bagon (models/bagon/main.py contract) until the
+   reconstruction regime the reference's success evidence requires
+   (>0.999 token acc, analyses/get_max_acc_sentences.py:24-26).
+2. k-means codebook init from the frozen Bagon encoder over the train
+   split (models/shelgon3/vq_codebook_init_weights.py).
+3. Train Shelgon3-VQ warm-started from the Bagon checkpoint with the
+   k-means codebook and model_mode="vq-ft" (frozen encoder+decoder,
+   Bagon.py:168-177) — the recipe that restores codebook utilization.
+
+Prints a final JSON summary (test token acc + codebook perplexity per
+stage) and leaves all run dirs under --runs-dir for the analyses CLIs.
+
+    python scripts/flagship_quality.py [--bagon-epochs 60] [--vq-epochs 40]
+        [--batch 256] [--runs-dir ./runs]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--bagon-epochs", type=int, default=60)
+    ap.add_argument("--vq-epochs", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--runs-dir", default="./runs")
+    ap.add_argument("--bagon-run", default=None,
+                    help="reuse an existing Bagon run dir (skip stage 1)")
+    ap.add_argument("--out", default=None, help="write the JSON summary here too")
+    ap.add_argument("--tiny", action="store_true",
+                    help="4-layer/256-hidden smoke geometry (CPU wiring check)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (before any backend init)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from kindergarten_vq_vae_tpu.ckpt.checkpoint import best_ckpt_name
+    from kindergarten_vq_vae_tpu.train.config import RunConfig
+    from kindergarten_vq_vae_tpu.train.run import load_data, run_training
+
+    def base_cfg(model_name: str, n_epochs: int) -> RunConfig:
+        cfg = RunConfig()
+        flat = cfg.get_config()
+        flat.update(
+            model_name=model_name,
+            batch_size=args.batch,
+            n_epochs=n_epochs,
+            runs_dir=args.runs_dir,
+            resume_save_every_n_epochs=5,
+            # decode dumps are host-heavy; keep them to the end
+            n_epochs_to_decode_after=n_epochs,
+        )
+        if args.tiny:
+            flat.update(hidden_size=256, num_layers=4, num_heads=4,
+                        intermediate_size=512, vq_e_dim=256, enc_out_size=256,
+                        emb_size=256, word_embedding_size=256)
+        return RunConfig.from_flat_dict(flat)
+
+    summary = {}
+
+    # ---- stage 1: bert-base Bagon ----------------------------------------
+    if args.bagon_run:
+        bagon_dir = args.bagon_run
+        print(f"[flagship] stage 1 skipped, reusing {bagon_dir}", flush=True)
+    else:
+        t0 = time.time()
+        cfg = base_cfg("bagon", args.bagon_epochs)
+        engine = run_training(cfg)
+        bagon_dir = engine.run_path
+        summary["bagon"] = {
+            "run_dir": bagon_dir,
+            "test_stats": {k: float(v) for k, v in engine.history[-1]["test"].items()},
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(f"[flagship] stage 1 done: {json.dumps(summary['bagon'])}", flush=True)
+
+    bagon_ckpt = os.path.join(bagon_dir, best_ckpt_name("bagon", "loss_recon", "val"))
+
+    # ---- stage 2: k-means codebook init from the frozen Bagon encoder ----
+    from kindergarten_vq_vae_tpu.train.codebook_init import compute_codebook_init
+
+    t0 = time.time()
+    vq_cfg = base_cfg("shelgon3", args.vq_epochs)
+    splits, _ = load_data(vq_cfg)
+    cb_path = os.path.join(bagon_dir, "codebook_init.npy")
+    compute_codebook_init(
+        vq_cfg, splits["train"], bagon_ckpt_path=bagon_ckpt, out_path=cb_path
+    )
+    summary["codebook_init"] = {"path": cb_path, "wall_s": round(time.time() - t0, 1)}
+    print(f"[flagship] stage 2 done: {cb_path}", flush=True)
+
+    # ---- stage 3: Shelgon3-VQ, warm start + k-means init + vq-ft ----------
+    t0 = time.time()
+    flat = vq_cfg.get_config()
+    flat.update(
+        model_mode="vq-ft",
+        from_pretrained_bagon=bagon_ckpt,
+        vq_codebook_init_values_path=cb_path,
+    )
+    vq_cfg = RunConfig.from_flat_dict(flat)
+    engine = run_training(vq_cfg)
+    summary["shelgon3_vq_ft"] = {
+        "run_dir": engine.run_path,
+        "test_stats": {k: float(v) for k, v in engine.history[-1]["test"].items()},
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(f"[flagship] stage 3 done: {json.dumps(summary['shelgon3_vq_ft'])}", flush=True)
+
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
