@@ -67,6 +67,7 @@ class BertConfig:
     layer_block_b_fwd: int = 64  # sentences per fwd tile
     layer_block_b_bwd: int = 32  # sentences per bwd tile (dW accums in VMEM)
     layer_attn_chunk: int = 8    # sentences per attention sub-chunk (see LayerGeom)
+    layer_attn_chunk_fwd: int = 0  # fwd-only chunk override; 0 = layer_attn_chunk
     # Device mesh for the fused trunk: when set, the whole fused-layer stack
     # runs under ONE shard_map over the mesh's dp axes (each device's batch
     # shard through per-shard Pallas kernels; weights replicated in, their
@@ -421,6 +422,7 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
         block_b_fwd=cfg.layer_block_b_fwd,
         block_b_bwd=cfg.layer_block_b_bwd,
         attn_chunk=cfg.layer_attn_chunk,
+        attn_chunk_fwd=cfg.layer_attn_chunk_fwd,
     )
     enc = encoder_hidden_states if has_cross else None
     emask = encoder_attention_mask if has_cross else None

@@ -93,6 +93,11 @@ class LayerGeom:
     # MXU tile (32*12=384) or the padding eats the gain. Projections keep the
     # full tile's rows.
     attn_chunk: int = 8
+    # Forward-specific attention chunk; 0 = use attn_chunk. Safe to differ
+    # from the backward's: the dropout hash keys on absolute row ids
+    # (ops/sdpa_pallas._dropout_keep_scale), so keep masks are bit-identical
+    # under any tile/chunk decomposition.
+    attn_chunk_fwd: int = 0
     # True: the fwd (training) kernel streams the matmul outputs (qkv, ctx,
     # x1/x2, u, LN stats) to HBM and the bwd kernel reads them back instead
     # of recomputing the forward per tile. MEASURED SLOWER at bert-base
@@ -828,6 +833,9 @@ def _layer_forward(geom, x, enc, smask, cmask, seed, weights, interpret, save="n
     b, s_q, H = x.shape
     tb = min(geom.block_b_fwd, b)
     geom = dataclasses.replace(geom, block_b_fwd=tb)
+    if geom.attn_chunk_fwd > 0:
+        # forward-only chunk override (backward keeps geom.attn_chunk)
+        geom = dataclasses.replace(geom, attn_chunk=geom.attn_chunk_fwd)
     b_pad = ((b + tb - 1) // tb) * tb
     grid = b_pad // tb
     cdtype = x.dtype

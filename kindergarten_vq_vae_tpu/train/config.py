@@ -120,6 +120,7 @@ class ModelConfig:
     layer_block_b_fwd: int = 64          # sentences per fused-layer fwd tile
     layer_block_b_bwd: int = 32          # sentences per fused-layer bwd tile
     layer_attn_chunk: int = 8            # sentences per attention sub-chunk
+    layer_attn_chunk_fwd: int = 0        # fwd-only chunk override; 0 = shared
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     # dead-code revival (new capability; counters the index collapse a

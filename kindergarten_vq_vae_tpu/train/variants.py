@@ -118,6 +118,7 @@ def bert_configs(cfg: RunConfig, mesh=None, fused_head: bool = False):
         layer_block_b_fwd=m.layer_block_b_fwd,
         layer_block_b_bwd=m.layer_block_b_bwd,
         layer_attn_chunk=m.layer_attn_chunk,
+        layer_attn_chunk_fwd=m.layer_attn_chunk_fwd,
         dtype=_DTYPES[m.compute_dtype],
     )
     enc = BertConfig(add_pooler=True, **common)

@@ -69,7 +69,8 @@ def main():
         k1, k2, k3 = jax.random.split(key, 3)
         return {"dropout": k1, "gumbel": k2, "perturb": k3}
 
-    def measure(fused: str, label: str, tbf=None, tbb=None, chunk=None, gelu_exact=True):
+    def measure(fused: str, label: str, tbf=None, tbb=None, chunk=None,
+                gelu_exact=True, fchunk=None):
         model = ModelConfig(
             model_name="shelgon3", compute_dtype="bfloat16",
             vq_use_fused=True, fused_layer=fused,
@@ -78,6 +79,8 @@ def main():
         )
         if chunk is not None:
             model = dataclasses.replace(model, layer_attn_chunk=chunk)
+        if fchunk is not None:
+            model = dataclasses.replace(model, layer_attn_chunk_fwd=fchunk)
         cfg = RunConfig(
             model=model,
             data=DataConfig(batch_size=B, tokenized_sentence_max_length=S),
@@ -114,12 +117,14 @@ def main():
         parts = [q for q in parts if q != "g"]
         tbf, tbb = int(parts[0]), int(parts[1])
         chunk = int(parts[2]) if len(parts) > 2 else None
+        fchunk = int(parts[3]) if len(parts) > 3 else None
         try:
             measure("on", f"fused_layer ON  (tbf={tbf} tbb={tbb} chunk={chunk}"
-                    f" gelu_exact={gelu_exact})",
-                    tbf=tbf, tbb=tbb, chunk=chunk, gelu_exact=gelu_exact)
+                    f" fchunk={fchunk} gelu_exact={gelu_exact})",
+                    tbf=tbf, tbb=tbb, chunk=chunk, gelu_exact=gelu_exact,
+                    fchunk=fchunk)
         except Exception as e:  # e.g. VMEM OOM at this tiling — keep sweeping
-            print(f"tbf={tbf} tbb={tbb} chunk={chunk}: FAILED "
+            print(f"tbf={tbf} tbb={tbb} chunk={chunk} fchunk={fchunk}: FAILED "
                   f"{str(e).splitlines()[0][:160]}", flush=True)
 
 

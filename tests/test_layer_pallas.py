@@ -209,6 +209,33 @@ def test_attn_chunking_parity(decoder):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.parametrize("decoder", [False, True])
+def test_attn_chunk_fwd_override(decoder):
+    """attn_chunk_fwd decouples the forward's chunking from the backward's
+    (a perf knob — the fwd and bwd kernels have different VMEM/occupancy
+    trade-offs). Values and gradients must match the shared-chunk config
+    with dropout ON: the hash keys on absolute row ids, so a mismatched
+    fwd/bwd decomposition still reproduces identical keep masks."""
+    cfg, layer, x, enc, mask, params = _setup(decoder, B=8)
+    ws = _weights_from_params(params, decoder)
+    s_k = enc.shape[1] if decoder else x.shape[1]
+    base = _geom(cfg, x.shape[1], s_k, attn_rate=0.1, hid_rate=0.1, tbf=8, tbb=4)
+    shared = dataclasses.replace(base, attn_chunk=4)
+    split = dataclasses.replace(base, attn_chunk=4, attn_chunk_fwd=2)
+    seed = jnp.asarray([91], jnp.int32)
+    o_ref = fused_bert_layer(shared, x, enc, mask, None, seed, None, *ws)
+    o_spl = fused_bert_layer(split, x, enc, mask, None, seed, None, *ws)
+    np.testing.assert_allclose(np.asarray(o_spl), np.asarray(o_ref), atol=1e-5, rtol=1e-5)
+
+    def grads(g):
+        def f(ws_):
+            return jnp.sum(fused_bert_layer(g, x, enc, mask, None, seed, None, *ws_) ** 2)
+        return jax.grad(f)(ws)
+
+    for a, b in zip(grads(shared), grads(split)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=5e-4, rtol=5e-4)
+
+
 def test_bert_base_geometry_smoke():
     """Full bert-base head/hidden geometry through both kernels (interpret)."""
     rng = np.random.default_rng(3)
