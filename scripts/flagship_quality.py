@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--runs-dir", default="./runs")
     ap.add_argument("--bagon-run", default=None,
                     help="reuse an existing Bagon run dir (skip stage 1)")
+    ap.add_argument("--dec-perturb", type=float, default=0.0,
+                    help="decoder-input perturbation pct for TRAIN in stages 1+3 "
+                    "(the reference's input-perturbator, Trainer.py:94; measured "
+                    "REQUIRED at bert-base: with clean teacher-forced decoder "
+                    "inputs the copy path collapses the encoder representation "
+                    "to a near-constant, making codebook perplexity 1 — "
+                    "RESULTS.md round 3)")
     ap.add_argument("--out", default=None, help="write the JSON summary here too")
     ap.add_argument("--tiny", action="store_true",
                     help="4-layer/256-hidden smoke geometry (CPU wiring check)")
@@ -60,6 +67,7 @@ def main():
             n_epochs=n_epochs,
             runs_dir=args.runs_dir,
             resume_save_every_n_epochs=5,
+            decoder_perturb_train_pct=args.dec_perturb,
             # decode dumps are host-heavy; keep them to the end
             n_epochs_to_decode_after=n_epochs,
         )
