@@ -185,6 +185,16 @@ class RunConfig:
     decoder_perturb_train_pct: float = 0.0
     decoder_perturb_val_pct: float = 0.0
     decoder_perturb_test_pct: float = 0.0
+    # Bagon recon target under decoder perturbation. False replicates the
+    # reference exactly (Bagon Trainer.py:103-107 targets the PERTURBED
+    # decoder ids — so its perturbation never breaks the teacher-forced
+    # copy path, and at bert-base the encoder representation collapses to a
+    # near-constant; RESULTS.md round 3). True targets the unperturbed ids,
+    # the way the reference's own Shelgon variant implements corruption
+    # (shelgon/Trainer.py:117-121) — a denoising objective that forces
+    # information through the encoder latent. Used by the flagship quality
+    # pipeline (scripts/flagship_quality.py --dec-perturb).
+    bagon_target_unperturbed: bool = False
     # observability
     wandb_project_name: str = "kindergarten-vq-vae-tpu"
     wandb_group: str = ""

@@ -276,8 +276,12 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
             deterministic=deterministic,
             rngs={k: v for k, v in rngs.items() if k != "perturb"},
         )
-        loss_recon, recon_ids = _recon(out, dec_ids, valid)
-        acc, acc_per_sentence = seq_acc(recon_ids, dec_ids)
+        # reference parity: the Bagon loss targets the PERTURBED decoder ids
+        # (Trainer.py:103-107). bagon_target_unperturbed=True switches to the
+        # Shelgon-style denoising target (clean ids) — see config.py.
+        target_ids = dec_src if cfg.bagon_target_unperturbed else dec_ids
+        loss_recon, recon_ids = _recon(out, target_ids, valid)
+        acc, acc_per_sentence = seq_acc(recon_ids, target_ids)
         aux = {
             "loss_recon": loss_recon,
             "loss_full": loss_recon,
@@ -285,7 +289,7 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
             "padding_tokens_pct": padding_tokens_pct(batch["input_ids"]),
             "recon_ids": recon_ids,
             "acc_per_sentence": acc_per_sentence,
-            "target_ids": dec_ids,
+            "target_ids": target_ids,
         }
         return loss_recon, aux
 

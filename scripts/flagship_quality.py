@@ -68,6 +68,9 @@ def main():
             runs_dir=args.runs_dir,
             resume_save_every_n_epochs=5,
             decoder_perturb_train_pct=args.dec_perturb,
+            # denoising target: corruption must break the teacher-forced copy
+            # path to force an informative latent (RESULTS.md round 3)
+            bagon_target_unperturbed=args.dec_perturb > 0,
             # decode dumps are host-heavy; keep them to the end
             n_epochs_to_decode_after=n_epochs,
         )

@@ -256,3 +256,42 @@ def test_dead_code_reset_in_engine(tiny_splits):
     cb_after = np.asarray(eng.state.params["vector_quantizer"]["codebook"])
     assert np.isfinite(cb_after).all()
     assert not np.allclose(cb_before, cb_after)
+
+
+def test_bagon_denoising_target_switch():
+    """bagon_target_unperturbed=True targets the CLEAN decoder ids under
+    perturbation (the Shelgon-style denoising objective, config.py), while
+    the default replicates the reference's perturbed-target Bagon loss
+    (Bagon Trainer.py:103-107). With 100% decoder corruption the two
+    targets — and both the loss and the aux target_ids — must differ."""
+    import dataclasses
+
+    from kindergarten_vq_vae_tpu.train.variants import make_loss_fn
+
+    cfg = _tiny_cfg("bagon")
+    cfg = dataclasses.replace(cfg, decoder_perturb_train_pct=1.0)
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (8, 12)), jnp.int32),
+        "attention_mask": jnp.ones((8, 12), jnp.int32),
+        "n_valid": jnp.int32(8),
+    }
+    rngs = {
+        "dropout": jax.random.key(1),
+        "gumbel": jax.random.key(2),
+        "perturb": jax.random.key(3),
+    }
+
+    loss_ref, aux_ref = make_loss_fn(cfg, "train")(params, batch, rngs, True)
+    cfg_dn = dataclasses.replace(cfg, bagon_target_unperturbed=True)
+    loss_dn, aux_dn = make_loss_fn(cfg_dn, "train")(params, batch, rngs, True)
+
+    # denoising target is the clean ids; reference target is the corrupted copy
+    np.testing.assert_array_equal(
+        np.asarray(aux_dn["target_ids"]), np.asarray(batch["input_ids"])
+    )
+    assert not np.array_equal(
+        np.asarray(aux_ref["target_ids"]), np.asarray(batch["input_ids"])
+    )
+    assert abs(float(loss_ref) - float(loss_dn)) > 1e-6
