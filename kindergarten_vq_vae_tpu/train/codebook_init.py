@@ -32,8 +32,15 @@ def compute_codebook_init(
     batch_size: int = 2048,
     out_path: str | None = None,
     seed: int = 0,
+    return_diagnostics: bool = False,
 ):
-    """Returns the (n_e, hidden) codebook init array; saves .npy if asked."""
+    """Returns the (n_e, hidden) codebook init array; saves .npy if asked.
+
+    With ``return_diagnostics`` also returns a dict with the encoder-output
+    per-element spread and the centroid pairwise distances — the cheap
+    detector for the encoder-representation collapse mode (RESULTS.md
+    round 3: a collapsed encoder yields pairwise-identical centroids and no
+    codebook init can restore utilization downstream)."""
     n_e = n_e or cfg.model.vq_n_e
     enc_cfg, _ = bert_configs(cfg)
 
@@ -83,6 +90,21 @@ def compute_codebook_init(
     codebook = np.asarray(codebook, np.float32)
     if out_path is not None:
         np.save(out_path, codebook)
+    if return_diagnostics:
+        # per-element std of encoder outputs across all (sentence, position)
+        # rows: ~0.9 for a random-init encoder, ~0.01 in the collapsed mode
+        z_std = float(jnp.std(z_flat, axis=0).mean())
+        d = codebook[:, None, :] - codebook[None, :, :]
+        dist = np.sqrt((d * d).sum(-1))
+        iu = np.triu_indices(n_e, 1)
+        diag = {
+            "encoder_per_element_std": z_std,
+            "centroid_dist_min": float(dist[iu].min()),
+            "centroid_dist_mean": float(dist[iu].mean()),
+            "centroid_norm_mean": float(np.linalg.norm(codebook, axis=1).mean()),
+        }
+        print(f"[codebook_init] diagnostics: {diag}", flush=True)
+        return codebook, diag
     return codebook
 
 

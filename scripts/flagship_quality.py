@@ -107,11 +107,26 @@ def main():
     vq_cfg = base_cfg("shelgon3", args.vq_epochs)
     splits, _ = load_data(vq_cfg)
     cb_path = os.path.join(bagon_dir, "codebook_init.npy")
-    compute_codebook_init(
-        vq_cfg, splits["train"], bagon_ckpt_path=bagon_ckpt, out_path=cb_path
+    _, diag = compute_codebook_init(
+        vq_cfg, splits["train"], bagon_ckpt_path=bagon_ckpt, out_path=cb_path,
+        return_diagnostics=True,
     )
-    summary["codebook_init"] = {"path": cb_path, "wall_s": round(time.time() - t0, 1)}
+    summary["codebook_init"] = {
+        "path": cb_path, "wall_s": round(time.time() - t0, 1), **diag
+    }
     print(f"[flagship] stage 2 done: {cb_path}", flush=True)
+    if diag["centroid_dist_min"] < 1e-2:
+        # encoder-representation collapse: all centroids coincide, the VQ
+        # stage cannot recover utilization (RESULTS.md round 3) — fail fast
+        # instead of burning the vq-ft stage on a degenerate init.
+        print(f"[flagship] ABORT: degenerate codebook init "
+              f"(centroid_dist_min={diag['centroid_dist_min']:.2e}) — the "
+              f"Bagon encoder collapsed; raise --dec-perturb.", flush=True)
+        print(json.dumps(summary))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=2)
+        sys.exit(3)
 
     # ---- stage 3: Shelgon3-VQ, warm start + k-means init + vq-ft ----------
     t0 = time.time()

@@ -184,11 +184,17 @@ def test_max_acc_filter(tmp_path):
 
 def test_codebook_init_kmeans(splits):
     cfg = _tiny_cfg("shelgon3")
-    cb = compute_codebook_init(cfg, splits["train"], n_e=5, batch_size=64)
+    cb, diag = compute_codebook_init(
+        cfg, splits["train"], n_e=5, batch_size=64, return_diagnostics=True
+    )
     assert cb.shape == (5, cfg.model.hidden_size)
     assert np.isfinite(cb).all()
     # distinct centroids
     assert len(np.unique(cb.round(4), axis=0)) == 5
+    # collapse detector: a random-init encoder is far from the degenerate
+    # regime (centroids coincide, per-element std ~0.01 — RESULTS.md round 3)
+    assert diag["centroid_dist_min"] > 1e-2
+    assert diag["encoder_per_element_std"] > 0.05
 
 
 def test_compute_sentence_latents(splits):
