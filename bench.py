@@ -29,8 +29,11 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_FILE = os.path.join(REPO, "BASELINE_MEASURED.json")
 
-BATCH = 2048       # TPU train batch (throughput sweet spot on one v5e chip;
-                   # 2048 amortizes the fixed optimizer update ~5% better than 1024)
+BATCH = int(os.environ.get("KVT_BENCH_BATCH", "2048"))
+                   # TPU train batch (throughput sweet spot on one v5e chip;
+                   # 2048 amortizes the fixed optimizer update ~5% better than
+                   # 1024). Env-overridable for batch-scaling A/Bs only — the
+                   # official driver run uses the default.
 BASELINE_BATCH = 256  # CPU torch baseline batch (throughput there is
                       # batch-size-insensitive; sentences/sec basis is shared)
 SEQ = 12
