@@ -55,17 +55,23 @@ def bench_tpu_train() -> float:
     from kindergarten_vq_vae_tpu.train.config import DataConfig, ModelConfig, RunConfig
     from kindergarten_vq_vae_tpu.train.variants import init_params, make_loss_fn
 
+    from kindergarten_vq_vae_tpu.train.config import OptimConfig
+
     cfg = RunConfig(
         model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused=True),
         data=DataConfig(batch_size=BATCH, tokenized_sentence_max_length=SEQ),
+        # env knob for optimizer-path A/Bs only; the official driver run
+        # uses the default ("auto" -> resolve_fused_update policy)
+        optim=OptimConfig(fused_update=os.environ.get("KVT_BENCH_FUSED_UPDATE", "auto")),
     )
     params = init_params(cfg, jax.random.key(0))
-    # same optimizer policy as Engine: the fused Adam kernel when it
+    # same optimizer policy as Engine: the fused Adam path when it
     # resolves on, else the optax chain
     from kindergarten_vq_vae_tpu.ops.adam_pallas import FusedAdam, resolve_fused_update
 
-    if resolve_fused_update(cfg.optim):
-        fa = FusedAdam(cfg.optim)
+    fused_mode = resolve_fused_update(cfg.optim)
+    if fused_mode:
+        fa = FusedAdam(cfg.optim, path=fused_mode)
         opt_state = fa.init(params)
         update = fa.apply
     else:
@@ -108,16 +114,31 @@ def bench_tpu_train() -> float:
     params, opt_state, loss = train_step(params, opt_state, batch, 0)
     assert np.isfinite(float(loss))
 
-    best_dt = None
-    for _rep in range(2):  # best-of-2: the TPU tunnel's health varies
+    # best-of-N against tunnel/chip contention (the chip is shared; identical
+    # programs vary run-to-run). The official driver run uses the default
+    # N=2; KVT_BENCH_REPEATS>2 additionally emits every repetition + median
+    # and spread on stderr for the RESULTS.md variance table (stdout stays
+    # the single JSON line).
+    reps = int(os.environ.get("KVT_BENCH_REPEATS", "2"))
+    dts = []
+    for _rep in range(reps):
         t0 = time.perf_counter()
         for i in range(N_STEPS):
             params, opt_state, loss = train_step(params, opt_state, batch, i + 1)
         final = float(loss)  # host materialization of the chain's last value
-        dt = (time.perf_counter() - t0) / N_STEPS
+        dts.append((time.perf_counter() - t0) / N_STEPS)
         assert np.isfinite(final), "non-finite loss in benchmark"
-        best_dt = dt if best_dt is None else min(best_dt, dt)
-    return BATCH / best_dt
+    if reps > 2:
+        import sys
+
+        sps = sorted(BATCH / d for d in dts)
+        med = sps[len(sps) // 2] if reps % 2 else 0.5 * (sps[reps // 2 - 1] + sps[reps // 2])
+        print(
+            f"# reps(sent/s): {[round(s, 1) for s in sps]} median={med:.1f} "
+            f"best={sps[-1]:.1f} spread={(sps[-1] - sps[0]) / med * 100:.1f}%",
+            file=sys.stderr,
+        )
+    return BATCH / min(dts)
 
 
 def bench_cpu_torch_baseline(n_steps: int = 3) -> float:

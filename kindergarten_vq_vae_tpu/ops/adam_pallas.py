@@ -103,23 +103,30 @@ def _kernel_eligible(leaf) -> bool:
     return leaf.ndim == 2 and leaf.shape[-1] % 128 == 0 and leaf.dtype == jnp.float32
 
 
-def resolve_fused_update(optim_cfg, mesh=None) -> bool:
-    """Single policy point for engine/bench: use the fused Adam kernel?
+def resolve_fused_update(optim_cfg, mesh=None) -> str | None:
+    """Single policy point for engine/bench: fused Adam path, or None.
 
-    Only amsgrad is kernelized, and the kernel is single-device (under a
+    Returns "kernel" (the Pallas pass), "jnp" (the same single-expression
+    update per leaf, no custom call — one fused XLA loop per leaf instead of
+    the optax chain's multi-tree passes), or None (optax chain).
+
+    Only amsgrad is fused, and the fused paths are single-device (under a
     mesh the optax chain is GSPMD-partitioned). "auto" currently resolves
-    OFF even on TPU: combined with the fused trunk kernels in one program
-    the adam custom calls crash the axon remote worker (round-3
+    to None even on TPU: combined with the fused trunk kernels in one
+    program the adam custom calls crash the axon remote worker (round-3
     investigation, see RESULTS.md); every component-level configuration
-    passes, so this flips back on once the interaction is isolated. "on"
-    forces the kernel for tests/microbenches.
+    passes, so "auto" flips to "kernel" once that interaction is isolated.
+    "on" forces the kernel for tests/microbenches; "jnp" selects the
+    crash-safe fused expression (A/B'able vs the chain on chip).
     """
     if not optim_cfg.amsgrad or mesh is not None:
-        return False
+        return None
     fu = optim_cfg.fused_update
     if fu == "on":
-        return True
-    return False  # "auto" | "off"
+        return "kernel"
+    if fu == "jnp":
+        return "jnp"
+    return None  # "auto" | "off"
 
 
 class FusedAdam:
@@ -128,7 +135,8 @@ class FusedAdam:
     optax.multi_transform+set_to_zero (frozen leaves: params AND moments
     untouched)."""
 
-    def __init__(self, cfg, trainable_mask=None, interpret: bool | None = None):
+    def __init__(self, cfg, trainable_mask=None, interpret: bool | None = None,
+                 path: str = "kernel"):
         from kindergarten_vq_vae_tpu.train.optim import make_lr_schedule
 
         self.b1, self.b2, self.eps = 0.9, 0.999, 1e-8
@@ -137,6 +145,11 @@ class FusedAdam:
         self.schedule = schedule if callable(schedule) else (lambda _: schedule)
         self.mask = trainable_mask
         self.interpret = interpret
+        # "kernel": the Pallas pass for eligible leaves; "jnp": the same
+        # formula as one fused XLA expression per leaf (no custom call —
+        # safe to compose with the fused trunk kernels on axon)
+        assert path in ("kernel", "jnp"), path
+        self.path = path
 
     def init(self, params) -> FusedAdamState:
         zeros = lambda: jax.tree_util.tree_map(jnp.zeros_like, params)
@@ -148,7 +161,8 @@ class FusedAdam:
         # force the pallas kernel in interpreter mode (CPU kernel tests)
         interpret = (jax.default_backend() != "tpu"
                      if self.interpret is None else self.interpret)
-        use_kernel = jax.default_backend() == "tpu" or self.interpret is True
+        use_kernel = (self.path == "kernel"
+                      and (jax.default_backend() == "tpu" or self.interpret is True))
         count_inc = optax.safe_increment(state.count)
         cf = count_inc.astype(jnp.float32)
         # identical expressions to optax.tree.bias_correction (f32 power)

@@ -144,7 +144,9 @@ class OptimConfig:
     # chain. Only amsgrad=True is kernelized (the reference always trains
     # with amsgrad, models/bagon/main.py:76). "auto" currently resolves OFF
     # — see ops/adam_pallas.resolve_fused_update for the axon-crash note.
-    fused_update: str = "auto"           # "auto" | "on" | "off"
+    # "jnp" selects the same fused single-expression update without the
+    # Pallas custom call (safe to compose with the fused trunk on axon).
+    fused_update: str = "auto"           # "auto" | "on" | "off" | "jnp"
     lr_scheduler: Optional[str] = None  # None | "MultiStepLR"
     milestones: tuple = ()
     gamma: float = 0.1

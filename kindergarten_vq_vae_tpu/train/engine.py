@@ -178,10 +178,11 @@ class Engine:
         self._fused_opt = None
         from kindergarten_vq_vae_tpu.ops.adam_pallas import resolve_fused_update
 
-        if resolve_fused_update(cfg.optim, self.mesh):
+        fused_mode = resolve_fused_update(cfg.optim, self.mesh)
+        if fused_mode:
             from kindergarten_vq_vae_tpu.ops.adam_pallas import FusedAdam
 
-            self._fused_opt = FusedAdam(cfg.optim, self.mask)
+            self._fused_opt = FusedAdam(cfg.optim, self.mask, path=fused_mode)
 
         ema = None
         if cfg.model.model_name == "shelgon3" and cfg.model.vq_ema_update:

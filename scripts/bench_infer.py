@@ -97,7 +97,68 @@ def main():
 
     t_fused = timed(fused_vector_quantize, "fused VQ kernel ")
     t_oracle = timed(vector_quantize, "jnp VQ oracle    ")
-    print(f"fused VQ speedup: {t_oracle / t_fused:.2f}x")
+    print(f"fused VQ speedup (python-chained, dispatch-bound): {t_oracle / t_fused:.2f}x")
+
+    # ---- the honest per-call number: scan-chain N calls INSIDE one jit so
+    # per-call dispatch amortizes to zero and only device time remains (the
+    # python-chained numbers above pay ~1 ms of tunnel dispatch per call,
+    # which dwarfs the ~100 us op at this shape). z_q feeds back as the next
+    # z: after step 1 the rows are codebook vectors, but the kernel's work is
+    # data-independent (distances + argmin + gather every call).
+    from jax import lax
+
+    n_inner = 200
+
+    def timed_scan(fn, label):
+        @jax.jit
+        def chain(z_in):
+            def body(c, _):
+                return fn(c, emb, 0.25).z_q, ()
+
+            c, _ = lax.scan(body, z_in, None, length=n_inner)
+            return c
+
+        cur = chain(z)
+        jax.block_until_ready(cur)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            cur = chain(z)
+            float(jnp.sum(cur[:1, :1, :1]))
+            dt = (time.perf_counter() - t0) / n_inner * 1e6
+            best = dt if best is None else min(best, dt)
+        print(f"{label} (in-jit scan x{n_inner}): {best:8.1f} us/call")
+        return best
+
+    s_fused = timed_scan(fused_vector_quantize, "fused VQ kernel ")
+    s_oracle = timed_scan(vector_quantize, "jnp VQ oracle    ")
+    print(f"fused VQ speedup (in-jit): {s_oracle / s_fused:.2f}x")
+
+    # ---- serving-bucket latency: the Reconstructor pads requests up to a
+    # pre-jitted bucket (serve/reconstructor.py); this is the per-bucket
+    # device latency table for RESULTS.md. Python-chained on purpose — a
+    # serving request IS a single dispatch, so the ~1 ms tunnel dispatch is
+    # part of the honest serving number.
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+    def recon_req(p, ids_in, mask_in):
+        out = model.apply({"params": p}, ids_in, mask_in,
+                          deterministic=True, is_training=False)
+        return jnp.argmax(out["logits"], axis=-1).astype(jnp.int32)
+
+    for bucket in (8, 64, 256, 1024):
+        ids_b = ids[:bucket] if bucket <= B else jnp.tile(ids, (bucket // B, 1))
+        mask_b = jnp.ones_like(ids_b)
+        cur = recon_req(params, ids_b, mask_b)
+        jax.block_until_ready(cur)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = recon_req(params, ids_b, mask_b)
+            int(jnp.sum(r[:1, :1]))
+            dt = (time.perf_counter() - t0) * 1e3
+            best = dt if best is None else min(best, dt)
+        print(f"serve bucket {bucket:5d}: {best:7.2f} ms/request "
+              f"({bucket / best * 1e3:,.0f} sentences/sec)")
 
 
 if __name__ == "__main__":

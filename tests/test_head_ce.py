@@ -143,13 +143,16 @@ def test_fused_adam_matches_optax():
     opt_state = tx.init(params)
     fa = FusedAdam(cfg, mask, interpret=True)  # force the kernel (interpret)
     fs = fa.init(params)
-    p1, p2 = params, params
+    fj = FusedAdam(cfg, mask, path="jnp")  # crash-safe fused-expression path
+    fjs = fj.init(params)
+    p1, p2, p3 = params, params, params
     for step in range(5):
         grads = jax.tree_util.tree_map(
             lambda p: jnp.sin(p * (step + 1)).astype(p.dtype), params)
         upd, opt_state = tx.update(grads, opt_state, p1)
         p1 = optax.apply_updates(p1, upd)
         p2, fs = fa.apply(grads, fs, p2)
+        p3, fjs = fj.apply(grads, fjs, p3)
     # jnp path is bitwise; frozen leaves untouched
     assert float(jnp.max(jnp.abs(p1["b"] - p2["b"]))) == 0.0
     assert float(jnp.max(jnp.abs(p1["frozen"] - p2["frozen"]))) == 0.0
@@ -157,6 +160,10 @@ def test_fused_adam_matches_optax():
     np.testing.assert_allclose(np.asarray(p2["w"]), np.asarray(p1["w"]),
                                rtol=5e-7, atol=1e-9)
     assert int(fs.count) == 5
+    # path="jnp" is bitwise vs optax on EVERY leaf (same expressions)
+    for k in params:
+        assert float(jnp.max(jnp.abs(p1[k] - p3[k]))) == 0.0, k
+    assert int(fjs.count) == 5
 
 
 def test_loss_fn_fused_head_wiring():
