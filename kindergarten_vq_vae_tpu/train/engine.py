@@ -515,6 +515,17 @@ class Engine:
         best_train = self._best_train or self._init_best()
         best_val = self._best_val or self._init_best()
 
+        # in-place epoch progress (reference's rich Progress over epochs,
+        # models/bagon/main.py:83-96); renders only on a TTY
+        progress = None
+        if console_print:
+            from ..utils.console import ProgressLine
+
+            progress = ProgressLine(
+                f"epochs ({self.model_name})",
+                cfg.n_epochs - self._start_epoch + 1,
+            )
+
         for epoch in range(self._start_epoch, cfg.n_epochs + 1):
             iters["train"].set_epoch(epoch)
             decode = (epoch % cfg.n_epochs_to_decode_after) == 0
@@ -527,6 +538,8 @@ class Engine:
             else:
                 stats_train, _ = self._run_stage("train", iters["train"], None, epoch, decode)
             flags_train = self._update_best(best_train, stats_train)
+            if progress is not None:
+                progress.clear()
             self._log_epoch(epoch, "train", stats_train, flags_train, wandb_run, console_print)
             self._checkpoint(flags_train, "train")
 
@@ -540,6 +553,10 @@ class Engine:
             cadence = cfg.resume_save_every_n_epochs
             if cadence > 0 and (epoch % cadence) == 0:
                 self.save_resume(epoch, best_train, best_val)
+            if progress is not None:
+                progress.advance()
+        if progress is not None:
+            progress.clear()
         return self.history
 
     def test(self, wandb_run=None, console_print: bool = True, reload_best: bool = True):
@@ -590,16 +607,30 @@ class Engine:
 
     def _log_epoch(self, epoch, stage, stats, flags, wandb_run, console_print):
         if console_print:
-            star = {k: (" *" if flags.get(k) else "") for k in stats}
-            parts = [f"{epoch:03d} | {stage:<5}"]
+            from ..utils import console as _console
+
+            stat_strs, best_flags = [], []
             for k in STAT_KEYS[self.model_name]:
                 if k.startswith("loss"):
-                    parts.append(f"{k}: {stats[k]:09.6f}{star.get(k, '')}")
-            parts.append(f"acc: {stats['metric_acc']:08.4f}%{star.get('metric_acc', '')}")
+                    stat_strs.append(f"{k}: {stats[k]:09.6f}")
+                    best_flags.append(bool(flags.get(k)))
+            stat_strs.append(f"acc: {stats['metric_acc']:08.4f}%")
+            best_flags.append(bool(flags.get("metric_acc")))
             if "metric_perp" in stats:
-                parts.append(f"perp: {stats['metric_perp']:06.3f}")
-            parts.append(f"{stats['sentences_per_sec']:.1f} sent/s")
-            print(" | ".join(parts))
+                stat_strs.append(f"perp: {stats['metric_perp']:06.3f}")
+                best_flags.append(False)
+            stat_strs.append(f"{stats['sentences_per_sec']:.1f} sent/s")
+            best_flags.append(False)
+            if _console.color_enabled():
+                # reference-style rich line: colored per-stage stats + best
+                # emojis (models/bagon/Trainer.py:157-172 semantics)
+                print(_console.epoch_line(epoch, stage, stat_strs, best_flags))
+            else:
+                # plain line for pipes/logs; ' *' marks a new best stat
+                parts = [f"{epoch:03d} | {stage:<5}"] + [
+                    s + (" *" if b else "") for s, b in zip(stat_strs, best_flags)
+                ]
+                print(" | ".join(parts))
         if wandb_run is not None:
             log = {"epoch": epoch}
             if "grad_norm" in stats:
