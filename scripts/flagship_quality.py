@@ -45,6 +45,8 @@ def main():
     ap.add_argument("--out", default=None, help="write the JSON summary here too")
     ap.add_argument("--tiny", action="store_true",
                     help="4-layer/256-hidden smoke geometry (CPU wiring check)")
+    ap.add_argument("--lim-batches", type=float, default=1.0,
+                    help="train/val/test batch fraction per epoch (smoke runs)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (before any backend init)")
     args = ap.parse_args()
@@ -73,6 +75,9 @@ def main():
             bagon_target_unperturbed=args.dec_perturb > 0,
             # decode dumps are host-heavy; keep them to the end
             n_epochs_to_decode_after=n_epochs,
+            lim_batches_train_pct=args.lim_batches,
+            lim_batches_val_pct=args.lim_batches,
+            lim_batches_test_pct=args.lim_batches,
         )
         if args.tiny:
             flat.update(hidden_size=256, num_layers=4, num_heads=4,

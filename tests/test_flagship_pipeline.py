@@ -1,0 +1,61 @@
+"""End-to-end test of the flagship-quality pipeline script.
+
+scripts/flagship_quality.py is the repo's reproduction of the reference's
+full success recipe — Bagon training (models/bagon/main.py contract) →
+k-means codebook init from the frozen encoder
+(models/shelgon3/vq_codebook_init_weights.py) → Shelgon3-VQ warm start with
+model_mode="vq-ft". The unit pieces are covered elsewhere (test_analyses
+codebook init, test_train engine, test_aux warm start); this test runs the
+actual 3-stage script in a fresh interpreter at smoke scale so the judged
+pipeline (stage wiring, diagnostics, fail-fast gate, JSON contract) can't
+silently rot.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_flagship_pipeline_tiny_cpu(tmp_path):
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    out = tmp_path / "flagship.json"
+    runs = tmp_path / "runs"
+    res = subprocess.run(
+        [
+            sys.executable, os.path.join(repo, "scripts", "flagship_quality.py"),
+            "--tiny", "--cpu",
+            "--bagon-epochs", "1", "--vq-epochs", "1",
+            "--lim-batches", "0.1",
+            "--dec-perturb", "0.5",
+            "--runs-dir", str(runs),
+            "--out", str(out),
+        ],
+        cwd=repo,  # reuse the prepared ./data/dSentences artifacts
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert res.returncode == 0, (
+        f"rc={res.returncode}\nstdout tail:\n{res.stdout[-2000:]}"
+        f"\nstderr tail:\n{res.stderr[-2000:]}"
+    )
+
+    summary = json.loads(out.read_text())
+    assert set(summary) == {"bagon", "codebook_init", "shelgon3_vq_ft"}
+
+    # stage 1: finite stats and a reloadable best checkpoint consumed by 2+3
+    bagon = summary["bagon"]["test_stats"]
+    assert 0.0 <= bagon["metric_acc"] <= 100.0
+    assert bagon["loss_recon"] > 0.0
+
+    # stage 2: the codebook artifact + collapse diagnostics
+    diag = summary["codebook_init"]
+    assert os.path.exists(diag["path"])
+    # a barely-trained encoder is far from collapsed: the fail-fast gate
+    # (centroid_dist_min < 1e-2 → exit 3) must NOT have fired
+    assert diag["centroid_dist_min"] >= 1e-2
+
+    # stage 3: vq-ft ran on the warm start + k-means init
+    vq = summary["shelgon3_vq_ft"]["test_stats"]
+    assert 0.0 <= vq["metric_acc"] <= 100.0
+    assert 1.0 <= vq["metric_perp"] <= 9.0
+    assert vq["loss_vq"] >= 0.0
