@@ -169,6 +169,13 @@ class RunConfig:
     n_epochs_to_decode_after: int = 5
     runs_dir: str = "./runs"
     export_checkpoint: bool = True
+    # Best-checkpoint write cadence. 1 = reference semantics (write every
+    # improved slot every epoch, models/bagon/Trainer.py:188-209). N > 1
+    # batches writes: improved slots are remembered and flushed with the
+    # then-current params every N epochs and at the final epoch — for long
+    # runs on hosts where a bert-base bundle write is expensive
+    # (scripts/flagship_quality.py uses this).
+    ckpt_every_n_epochs: int = 1
     # crash-safe resume (new capability — the reference flags resume as a
     # TODO, models/bagon/main.py:155): every N epochs fit() overwrites
     # <run_dir>/resume_state (params + optimizer state + step + EMA) and

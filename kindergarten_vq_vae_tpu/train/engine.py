@@ -34,7 +34,7 @@ from kindergarten_vq_vae_tpu.ckpt.checkpoint import (
     best_ckpt_name,
     load_bagon_into_model,
     restore_checkpoint,
-    save_checkpoint,
+    save_checkpoint_multi,
 )
 from kindergarten_vq_vae_tpu.data.dataset import BatchIterator
 from kindergarten_vq_vae_tpu.ops.vq import EMAState, ema_codebook_update, init_ema_state
@@ -218,6 +218,8 @@ class Engine:
         self._start_epoch = 1
         self._best_train: dict | None = None
         self._best_val: dict | None = None
+        # best-slot writes owed but not yet flushed (ckpt_every_n_epochs > 1)
+        self._ckpt_owed: set[tuple[str, str]] = set()
 
     # ------------------------------------------------------------------ steps
 
@@ -541,13 +543,15 @@ class Engine:
             if progress is not None:
                 progress.clear()
             self._log_epoch(epoch, "train", stats_train, flags_train, wandb_run, console_print)
-            self._checkpoint(flags_train, "train")
 
             stats_val, _ = self._run_stage("val", iters["val"], self.state.params, epoch, decode)
             # FIXED vs reference: gate val checkpoints on val stats (§2.9.1)
             flags_val = self._update_best(best_val, stats_val)
             self._log_epoch(epoch, "val", stats_val, flags_val, wandb_run, console_print)
-            self._checkpoint(flags_val, "val")
+            # one checkpoint pass per epoch: val never updates params, so the
+            # train-best and val-best bundles of the same epoch are identical
+            # -> one device->host fetch + hardlinked clones (ckpt/checkpoint)
+            self._checkpoint_epoch(epoch, flags_train, flags_val)
 
             self.history.append({"epoch": epoch, "train": stats_train, "val": stats_val})
             cadence = cfg.resume_save_every_n_epochs
@@ -597,13 +601,36 @@ class Engine:
 
     # ------------------------------------------------------------------ intern
 
-    def _checkpoint(self, flags: dict, stage: str):
+    def _checkpoint_epoch(self, epoch: int, flags_train: dict, flags_val: dict):
+        """Write best-slot checkpoints for every metric that improved.
+
+        Reference semantics (models/bagon/Trainer.py:188-209) with two
+        host-cost fixes for this tunneled-TPU environment: (a) all slots
+        triggered in an epoch share ONE device->host fetch and one real
+        write (the rest are hardlinks — the bundles are identical because
+        eval never updates params); (b) ``cfg.ckpt_every_n_epochs > 1``
+        batches writes: improved slots are remembered ("owed") and flushed
+        at the cadence epoch and at the final epoch, saving the
+        then-current params (with monotonically improving metrics that IS
+        the best state seen so far)."""
         if not (self.run_path and self.cfg.export_checkpoint):
             return
         for stat in CKPT_KEYS[self.model_name]:
-            if flags.get(stat):
-                path = os.path.join(self.run_path, best_ckpt_name(self.model_name, stat, stage))
-                save_checkpoint(path, self.state.params)
+            if flags_train.get(stat):
+                self._ckpt_owed.add((stat, "train"))
+            if flags_val.get(stat):
+                self._ckpt_owed.add((stat, "val"))
+        if not self._ckpt_owed:
+            return
+        cadence = max(1, int(self.cfg.ckpt_every_n_epochs))
+        if (epoch % cadence) != 0 and epoch != self.cfg.n_epochs:
+            return
+        paths = [
+            os.path.join(self.run_path, best_ckpt_name(self.model_name, stat, stage))
+            for stat, stage in sorted(self._ckpt_owed)
+        ]
+        save_checkpoint_multi(paths, self.state.params)
+        self._ckpt_owed.clear()
 
     def _log_epoch(self, epoch, stage, stats, flags, wandb_run, console_print):
         if console_print:

@@ -68,7 +68,12 @@ def main():
             batch_size=args.batch,
             n_epochs=n_epochs,
             runs_dir=args.runs_dir,
-            resume_save_every_n_epochs=5,
+            resume_save_every_n_epochs=10,
+            # batch best-slot writes: a bert-base bundle write costs ~10 s
+            # host-side (plus the device fetch); per-epoch x 4 slots would
+            # dominate the run (measured: the orbax writer burned ~4 min per
+            # slot before the flat-npy format change)
+            ckpt_every_n_epochs=5,
             decoder_perturb_train_pct=args.dec_perturb,
             # denoising target: corruption must break the teacher-forced copy
             # path to force an informative latent (RESULTS.md round 3)

@@ -295,3 +295,50 @@ def test_bagon_denoising_target_switch():
         np.asarray(aux_ref["target_ids"]), np.asarray(batch["input_ids"])
     )
     assert abs(float(loss_ref) - float(loss_dn)) > 1e-6
+
+
+def test_checkpoint_multi_and_bitcast_dtypes(tmp_path):
+    """Flat-npy format: hardlinked multi-slot saves and non-native dtypes
+    (bfloat16 leaves via the manifest bitcast) round-trip exactly."""
+    from kindergarten_vq_vae_tpu.ckpt.checkpoint import save_checkpoint_multi
+
+    tree = {
+        "w": jnp.asarray(np.random.default_rng(0).standard_normal((4, 8)),
+                         jnp.bfloat16),
+        "nested": {"b": jnp.arange(5, dtype=jnp.int32)},
+        "count": jnp.asarray(7, jnp.int32),
+    }
+    paths = [str(tmp_path / "slot_a"), str(tmp_path / "slot_b")]
+    save_checkpoint_multi(paths, tree)
+    for p in paths:
+        restored = restore_checkpoint(p, tree)
+        assert restored["w"].dtype == np.asarray(tree["w"]).dtype
+        np.testing.assert_array_equal(np.asarray(restored["w"]),
+                                      np.asarray(tree["w"]))
+        np.testing.assert_array_equal(np.asarray(restored["nested"]["b"]),
+                                      np.asarray(tree["nested"]["b"]))
+        assert int(np.asarray(restored["count"])) == 7
+    # clone slot shares inodes with the real write (hardlinks, not copies)
+    a = os.stat(os.path.join(paths[0], "0.npy")).st_ino
+    b = os.stat(os.path.join(paths[1], "0.npy")).st_ino
+    assert a == b
+
+
+def test_checkpoint_cadence_batches_writes(tiny_splits, tmp_path):
+    """ckpt_every_n_epochs > 1: no best-slot dirs before the cadence epoch,
+    all owed slots flushed at it (and at the final epoch)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        _tiny_cfg("bagon"), n_epochs=2, export_checkpoint=True,
+        ckpt_every_n_epochs=2, runs_dir=str(tmp_path),
+    )
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    eng = Engine(cfg, tiny_splits, run_path=run_dir)
+    eng.fit(console_print=False)
+    names = sorted(os.listdir(eng.run_path))
+    # epoch 1 improves everything but writes nothing; epoch 2 flushes
+    assert any(n.startswith("bagon_ckpt_loss_recon_val") for n in names)
+    assert any(n.startswith("bagon_ckpt_metric_acc_train") for n in names)
+    assert not eng._ckpt_owed
