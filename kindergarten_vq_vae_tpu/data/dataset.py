@@ -179,7 +179,12 @@ class BatchIterator:
     def __len__(self) -> int:
         n = len(self.ds)
         total = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
-        return int(total * self.lim_batches_pct) if self.lim_batches_pct < 1.0 else total
+        if self.lim_batches_pct < 1.0 and total > 0:
+            # floor, but never to zero: a tiny pct on a small split must
+            # still run one batch (int(total*pct)==0 used to starve the
+            # epoch and crash the stats divide in the engine)
+            return max(1, int(total * self.lim_batches_pct))
+        return total
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = epoch

@@ -159,6 +159,11 @@ def test_lim_batches_pct(tiny_corpus):
     full = BatchIterator(ds, batch_size=16)
     assert len(it) == int(len(full) * 0.5)
     assert sum(1 for _ in it) == len(it)
+    # a pct that floors to 0 batches still yields one (engine stats divide
+    # by the batch count; an empty epoch used to crash it)
+    tiny = BatchIterator(ds, batch_size=16, lim_batches_pct=0.001)
+    assert len(tiny) == 1
+    assert sum(1 for _ in tiny) == 1
 
 
 def test_prepare_all_end_to_end(tmp_path):
