@@ -69,30 +69,59 @@ def _is_native(dt: np.dtype) -> bool:
     return dt.kind in "biufc" and dt.type is not np.void
 
 
-def _save_tree(path: str, tree) -> None:
-    """Write a pytree as <path>/<i>.npy + manifest.json, atomically."""
+def _fetch_leaves(tree):
+    """Flatten + one bulk device->host transfer. This is the synchronous
+    part of every save: it must happen before the caller's next train step,
+    which may donate the very buffers being read."""
     leaves = jax.tree_util.tree_flatten_with_path(tree)[0]
-    # one bulk device->host transfer for any device arrays
     host = jax.device_get([leaf for _, leaf in leaves])
+    keys = [_keystr(kpath) for kpath, _ in leaves]
+    return keys, [np.asarray(a) for a in host]
+
+
+def _write_leaves(path: str, keys, host) -> None:
+    """Write fetched leaves as <path>/<i>.npy + manifest.json, atomically."""
     tmp = path + ".tmp-write"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     os.makedirs(tmp)
     manifest = {}
-    for i, ((kpath, _), arr) in enumerate(zip(leaves, host)):
-        arr = np.asarray(arr)
+    for i, (key, arr) in enumerate(zip(keys, host)):
         entry = {"file": f"{i}.npy", "dtype": str(arr.dtype),
                  "shape": list(arr.shape)}
         if not _is_native(arr.dtype):
             arr = arr.view(_BITCAST[arr.dtype.itemsize])
             entry["bitcast"] = str(arr.dtype)
         np.save(os.path.join(tmp, entry["file"]), arr, allow_pickle=False)
-        manifest[_keystr(kpath)] = entry
+        manifest[key] = entry
     with open(os.path.join(tmp, MANIFEST), "w") as f:
         json.dump(manifest, f)
     if os.path.exists(path):
         shutil.rmtree(path)
     os.replace(tmp, path)
+
+
+def _clone_dir(first: str, p: str) -> None:
+    """Atomically clone an on-disk bundle dir via hardlinks (copy fallback)."""
+    tmp = p + ".tmp-write"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    os.makedirs(tmp)
+    for name in os.listdir(first):
+        src, dst = os.path.join(first, name), os.path.join(tmp, name)
+        try:
+            os.link(src, dst)
+        except OSError:
+            shutil.copy2(src, dst)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+    os.replace(tmp, p)
+
+
+def _save_tree(path: str, tree) -> None:
+    """Write a pytree as <path>/<i>.npy + manifest.json, atomically."""
+    keys, host = _fetch_leaves(tree)
+    _write_leaves(path, keys, host)
 
 
 def _load_leaf(path: str, entry: dict) -> np.ndarray:
@@ -165,20 +194,103 @@ def save_checkpoint_multi(paths: list[str], params) -> None:
     first = _abs(paths[0])
     _save_tree(first, params)
     for p in paths[1:]:
-        p = _abs(p)
-        tmp = p + ".tmp-write"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp)
-        for name in os.listdir(first):
-            src, dst = os.path.join(first, name), os.path.join(tmp, name)
+        _clone_dir(first, _abs(p))
+
+
+class AsyncCheckpointWriter:
+    """Background disk writer for checkpoint bundles.
+
+    Motivation (measured on this host): the root disk sustains only
+    ~3-7 MB/s under load, so a 1 GB bert-base best-bundle write stalls the
+    training loop ~4 min and a 4 GB resume bundle >10 min — while the
+    actual training epoch is ~3 s of device time. The split: the
+    device->host fetch stays synchronous in ``save``/``save_multi``
+    (donation safety — the next train step donates the caller's param
+    buffers), but the disk write + atomic rename run on a daemon thread.
+
+    Semantics:
+    - One pending slot per destination group (keyed by the first path): a
+      newer submission for the same group replaces an unstarted older one —
+      the stale bundle is strictly dominated, so skipping it loses nothing.
+    - Writes stay atomic (tmp dir + rename); a crash mid-write never
+      corrupts an existing bundle, it only loses writes not yet flushed.
+    - ``wait()`` drains the queue and re-raises the first background error;
+      the engine drains at the end of ``fit()`` so downstream consumers
+      (``Engine.test``'s best-checkpoint reload, pipeline stages) see
+      durable files.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._cond = threading.Condition()
+        self._queue: dict = {}  # group key -> job; dict order = FIFO
+        self._inflight = False
+        self._error: BaseException | None = None
+        self._thread = None
+
+    def save_multi(self, paths: list[str], tree, after=None) -> None:
+        """Queue a bundle write (+hardlink clones) for the background thread.
+        ``after`` (optional, no-arg) runs on the writer thread once the
+        bundle is durable — for dependent small writes that must not land
+        before the bundle they describe (e.g. resume_meta.json)."""
+        if not paths:
+            return
+        keys, host = _fetch_leaves(tree)  # synchronous: donation safety
+        paths = [_abs(p) for p in paths]
+
+        def job():
+            _write_leaves(paths[0], keys, host)
+            for p in paths[1:]:
+                _clone_dir(paths[0], p)
+            if after is not None:
+                after()
+
+        self._submit(paths[0], job)
+
+    def save(self, path: str, tree, after=None) -> None:
+        self.save_multi([path], tree, after=after)
+
+    def _submit(self, key: str, job) -> None:
+        import threading
+
+        with self._cond:
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise RuntimeError("async checkpoint write failed") from err
+            self._queue[key] = job  # replaces an unstarted stale write
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._run, name="ckpt-writer", daemon=True)
+                self._thread.start()
+            self._cond.notify_all()
+
+    def _run(self) -> None:
+        while True:
+            with self._cond:
+                while not self._queue:
+                    self._cond.wait()
+                key = next(iter(self._queue))
+                job = self._queue.pop(key)
+                self._inflight = True
             try:
-                os.link(src, dst)
-            except OSError:
-                shutil.copy2(src, dst)
-        if os.path.exists(p):
-            shutil.rmtree(p)
-        os.replace(tmp, p)
+                job()
+            except BaseException as e:  # surfaced on wait()/next submit
+                with self._cond:
+                    if self._error is None:
+                        self._error = e
+            with self._cond:
+                self._inflight = False
+                self._cond.notify_all()
+
+    def wait(self) -> None:
+        """Block until every queued write is durable; re-raise errors."""
+        with self._cond:
+            while self._queue or self._inflight:
+                self._cond.wait()
+            if self._error is not None:
+                err, self._error = self._error, None
+                raise RuntimeError("async checkpoint write failed") from err
 
 
 def restore_checkpoint(path: str, template=None):

@@ -176,6 +176,14 @@ class RunConfig:
     # runs on hosts where a bert-base bundle write is expensive
     # (scripts/flagship_quality.py uses this).
     ckpt_every_n_epochs: int = 1
+    # Async checkpoint IO: the device->host fetch stays synchronous (the
+    # next step donates the param buffers) but the disk write runs on a
+    # background thread (ckpt/checkpoint.AsyncCheckpointWriter) — on this
+    # host's ~5 MB/s disk a bert-base bundle write is minutes while an
+    # epoch is seconds. fit() drains the queue before returning, so
+    # everything downstream of fit() sees durable files. False = fully
+    # synchronous writes (strict write-then-continue semantics).
+    ckpt_async: bool = True
     # crash-safe resume (new capability — the reference flags resume as a
     # TODO, models/bagon/main.py:155): every N epochs fit() overwrites
     # <run_dir>/resume_state (params + optimizer state + step + EMA) and

@@ -220,6 +220,10 @@ class Engine:
         self._best_val: dict | None = None
         # best-slot writes owed but not yet flushed (ckpt_every_n_epochs > 1)
         self._ckpt_owed: set[tuple[str, str]] = set()
+        # background disk writer (cfg.ckpt_async): the device->host fetch is
+        # synchronous, the disk write is not — on this host's slow disk a
+        # bert-base bundle write is minutes while an epoch is seconds
+        self._ckpt_writer = None
 
     # ------------------------------------------------------------------ steps
 
@@ -443,10 +447,13 @@ class Engine:
             log[f"parameters/{name}"] = _hist_payload(pc[i], pr[i, 0], pr[i, 1])
             log[f"gradients/{name}"] = _hist_payload(gc[i], gr[i, 0], gr[i, 1])
 
-    def save_state(self, path: str) -> None:
+    def save_state(self, path: str, use_writer: bool = False, after=None) -> None:
         """Resume bundle: params + optimizer state + step (+ EMA).
         New capability — resume is an acknowledged reference TODO
-        (models/bagon/main.py:155, SURVEY §5.4)."""
+        (models/bagon/main.py:155, SURVEY §5.4). ``use_writer`` routes the
+        disk write through the async writer (the in-loop resume cadence
+        uses it; direct API calls stay synchronous). ``after`` runs once the
+        bundle is durable (same thread as the write)."""
         from kindergarten_vq_vae_tpu.ckpt.checkpoint import save_train_state
 
         tree = {"params": self.state.params, "opt_state": self.state.opt_state,
@@ -456,7 +463,13 @@ class Engine:
             tree["ema_means"] = self.state.ema.means
         if self.state.dead_steps is not None:
             tree["dead_steps"] = self.state.dead_steps
-        save_train_state(path, tree)
+        writer = self._writer() if use_writer else None
+        if writer is not None:
+            writer.save(path, tree, after=after)
+        else:
+            save_train_state(path, tree)
+            if after is not None:
+                after()
 
     def restore_state(self, path: str) -> None:
         from kindergarten_vq_vae_tpu.ckpt.checkpoint import restore_train_state
@@ -484,17 +497,26 @@ class Engine:
         correctly) and the stats history."""
         if not self.run_path:
             return
-        self.save_state(os.path.join(self.run_path, "resume_state"))
         meta = {
             "epoch": epoch,
             "best_train": {k: float(v) for k, v in best_train.items()},
             "best_val": {k: float(v) for k, v in best_val.items()},
-            "history": self.history,
+            "history": list(self.history),
         }
-        tmp = os.path.join(self.run_path, "resume_meta.json.tmp")
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, os.path.join(self.run_path, "resume_meta.json"))
+        meta_json = json.dumps(meta)  # capture NOW (history mutates later)
+        meta_path = os.path.join(self.run_path, "resume_meta.json")
+
+        def write_meta():
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(meta_json)
+            os.replace(tmp, meta_path)
+
+        # the meta must never describe a resume_state that has not landed:
+        # async, both are ONE writer job (meta written after the bundle);
+        # sync, the same order inline.
+        state_path = os.path.join(self.run_path, "resume_state")
+        self.save_state(state_path, use_writer=True, after=write_meta)
 
     def restore_resume(self, run_dir: str | None = None) -> int:
         """Restore a run saved by save_resume; returns the next epoch to run.
@@ -561,6 +583,9 @@ class Engine:
                 progress.advance()
         if progress is not None:
             progress.clear()
+        # everything after fit() (Engine.test's best reload, pipeline
+        # stages, analyses) reads run-dir files: make them durable first
+        self.drain_checkpoints()
         return self.history
 
     def test(self, wandb_run=None, console_print: bool = True, reload_best: bool = True):
@@ -629,8 +654,30 @@ class Engine:
             os.path.join(self.run_path, best_ckpt_name(self.model_name, stat, stage))
             for stat, stage in sorted(self._ckpt_owed)
         ]
-        save_checkpoint_multi(paths, self.state.params)
+        writer = self._writer()
+        if writer is not None:
+            writer.save_multi(paths, self.state.params)
+        else:
+            save_checkpoint_multi(paths, self.state.params)
         self._ckpt_owed.clear()
+
+    def _writer(self):
+        """The async disk writer when cfg.ckpt_async, else None (sync)."""
+        if not self.cfg.ckpt_async:
+            return None
+        if self._ckpt_writer is None:
+            from kindergarten_vq_vae_tpu.ckpt.checkpoint import AsyncCheckpointWriter
+
+            self._ckpt_writer = AsyncCheckpointWriter()
+        return self._ckpt_writer
+
+    def drain_checkpoints(self) -> None:
+        """Block until every queued checkpoint write is durable on disk.
+        Called at the end of fit(); anything consuming run-dir files
+        (Engine.test's best-checkpoint reload, pipeline stages, analyses)
+        runs after this."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.wait()
 
     def _log_epoch(self, epoch, stage, stats, flags, wandb_run, console_print):
         if console_print:

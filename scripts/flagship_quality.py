@@ -68,12 +68,16 @@ def main():
             batch_size=args.batch,
             n_epochs=n_epochs,
             runs_dir=args.runs_dir,
-            resume_save_every_n_epochs=10,
-            # batch best-slot writes: a bert-base bundle write costs ~10 s
-            # host-side (plus the device fetch); per-epoch x 4 slots would
-            # dominate the run (measured: the orbax writer burned ~4 min per
-            # slot before the flat-npy format change)
-            ckpt_every_n_epochs=5,
+            # no mid-run resume bundles: a 4 GB resume write takes >10 min
+            # on this host's ~5 MB/s disk (async hides the write but not
+            # the 1 GB+ device fetch), and each stage is only ~15 min of
+            # compute — a crash just reruns the stage
+            resume_save_every_n_epochs=0,
+            # batch best-slot writes: each flush pays a full-param device
+            # fetch through the TPU tunnel (the disk write itself is async,
+            # engine ckpt_async); the pipeline consumes only the final
+            # best checkpoints, so flush sparsely + at the last epoch
+            ckpt_every_n_epochs=15,
             decoder_perturb_train_pct=args.dec_perturb,
             # denoising target: corruption must break the teacher-forced copy
             # path to force an informative latent (RESULTS.md round 3)

@@ -342,3 +342,44 @@ def test_checkpoint_cadence_batches_writes(tiny_splits, tmp_path):
     assert any(n.startswith("bagon_ckpt_loss_recon_val") for n in names)
     assert any(n.startswith("bagon_ckpt_metric_acc_train") for n in names)
     assert not eng._ckpt_owed
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """AsyncCheckpointWriter: durable after wait(), hardlinked clones,
+    newest-wins supersede per destination group, background errors
+    re-raised on wait()."""
+    import threading
+
+    from kindergarten_vq_vae_tpu.ckpt.checkpoint import AsyncCheckpointWriter
+
+    w = AsyncCheckpointWriter()
+    meta_seen = []
+    tree_a = {"x": jnp.arange(4, dtype=jnp.float32)}
+    tree_b = {"x": jnp.arange(4, dtype=jnp.float32) + 100.0}
+    dst = str(tmp_path / "slot")
+    clone = str(tmp_path / "clone")
+    # two submits to the same group before the worker can possibly finish
+    # both: the final on-disk state must be the NEWEST bundle
+    w.save_multi([dst, clone], tree_a)
+    w.save_multi([dst, clone], tree_b, after=lambda: meta_seen.append(1))
+    w.wait()
+    got = restore_checkpoint(dst, tree_b)
+    np.testing.assert_array_equal(np.asarray(got["x"]), np.asarray(tree_b["x"]))
+    assert os.stat(os.path.join(dst, "0.npy")).st_ino == os.stat(
+        os.path.join(clone, "0.npy")).st_ino
+    assert meta_seen == [1]  # `after` ran once the bundle was durable
+
+    # a failing write surfaces on wait(), and the writer stays usable
+    def boom():
+        raise OSError("disk full")
+
+    w._submit("bad-group", boom)
+    try:
+        w.wait()
+        raise AssertionError("expected RuntimeError from failed write")
+    except RuntimeError:
+        pass
+    w.save(str(tmp_path / "again"), tree_a)
+    w.wait()
+    assert os.path.exists(os.path.join(str(tmp_path / "again"), "0.npy"))
+    assert threading.active_count() >= 1
