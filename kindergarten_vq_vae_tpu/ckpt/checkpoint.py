@@ -17,8 +17,10 @@ Format: a directory of flat ``.npy`` files (one per pytree leaf, named by
 manifest index) plus ``manifest.json`` mapping tree-path keys to files.
 Measured on this host (1 core): orbax's StandardCheckpointer serializes a
 1 GB bert-base bundle in 127-201 s and ``np.savez`` in 88 s (both burn the
-core in their framing layers), while plain ``np.save`` streams at
-146-254 MB/s — checkpoint cost dropped ~20x by writing leaves directly.
+core in their framing layers), while plain ``np.save`` streams at disk
+speed (146-254 MB/s quiet; the same disk degrades to ~3-7 MB/s under
+concurrent load, which is what ``AsyncCheckpointWriter`` exists for) —
+checkpoint CPU cost dropped ~20x by writing leaves directly.
 Restores transparently fall back to orbax for bundles written before the
 format change. Writes are atomic (tmp dir + ``os.replace``) so a killed run
 never leaves a half-written best checkpoint or resume bundle.
