@@ -122,7 +122,15 @@ class Shelgon3(nn.Module):
         deterministic: bool = True,
         is_training: bool = False,
         output_attentions: bool = False,
+        decoder_input_ids=None,
     ):
+        # decoder_input_ids: opt-in divergence from the reference, whose
+        # shelgon3 forward feeds the SAME ids to encoder and decoder
+        # (Shelgon.py:50-71) — with clean teacher forcing the decoder can
+        # copy its own input and the encoder/codebook re-collapses to one
+        # code (measured: FLAGSHIP stage-4 "full" run, RESULTS.md). The
+        # train loss passes perturbed ids here (decoder_perturb_*_pct)
+        # to keep reconstruction flowing through the quantized latents.
         enc_out = BertModel(self.enc_cfg, name="encoder")(
             input_ids, attention_mask=attention_mask, deterministic=deterministic
         )
@@ -168,7 +176,7 @@ class Shelgon3(nn.Module):
             raise ValueError(f"{self.vq_mode} vector quantizer mode NOT supported")
 
         dec_out = (GPT2LMHeadModel if isinstance(self.dec_cfg, GPT2Config) else BertLMHeadModel)(self.dec_cfg, name="decoder")(
-            input_ids,
+            input_ids if decoder_input_ids is None else decoder_input_ids,
             attention_mask=attention_mask,
             encoder_hidden_states=z_q,
             deterministic=deterministic,

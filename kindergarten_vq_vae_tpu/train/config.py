@@ -129,6 +129,13 @@ class ModelConfig:
     # encoder outputs. 0 disables.
     vq_dead_code_threshold: int = 0
     from_pretrained_bagon: Optional[str] = None
+    # staged-training warm start: load a SAME-model checkpoint (any best-slot
+    # file written by ckpt/checkpoint.py) into the params at Engine init.
+    # Unlike resume_from (crash recovery: restores optimizer state + epoch),
+    # this starts a FRESH run/optimizer from trained weights — e.g. the
+    # flagship pipeline's stage 4 continues a converged vq-ft checkpoint
+    # under a different model_mode/lr (scripts/flagship_quality.py).
+    init_from_ckpt: Optional[str] = None
     # pretrained warm start (local HF torch checkpoint path; optional)
     hf_encoder_checkpoint: Optional[str] = None
     hf_decoder_checkpoint: Optional[str] = None

@@ -161,6 +161,12 @@ class Engine:
         self.params = params if params is not None else init_params(cfg, key)
         if cfg.model.from_pretrained_bagon:
             self.params = load_bagon_into_model(self.params, cfg.model.from_pretrained_bagon)
+        if cfg.model.init_from_ckpt:
+            # staged training: same-model checkpoint as fresh-run init
+            # (config.py rationale; optimizer state is NOT restored)
+            from kindergarten_vq_vae_tpu.ckpt.checkpoint import restore_checkpoint
+
+            self.params = restore_checkpoint(cfg.model.init_from_ckpt, template=self.params)
         if self.mesh is not None:
             from kindergarten_vq_vae_tpu.parallel.mesh import shard_params
 

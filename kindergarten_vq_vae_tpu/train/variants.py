@@ -370,13 +370,25 @@ def make_loss_fn(cfg: RunConfig, stage: str, mesh=None) -> Callable:
 
     def shelgon3_loss(params, batch, rngs, deterministic):
         valid = _valid_row(batch)
+        # opt-in decoder-input corruption (decoder_perturb_{stage}_pct): the
+        # reference's shelgon3 has NO perturbator (Shelgon.py:50-71 feeds the
+        # same ids both sides), which leaves the teacher-forced copy path
+        # open — measured at bert-base to re-collapse codebook utilization
+        # to perp 1.0 when the decoder trains (RESULTS.md stage 4). The
+        # recon target stays the CLEAN ids (denoising, like shelgon_loss).
+        dec_input = None
+        if dec_pct:
+            k2 = jax.random.split(rngs["perturb"])[1]
+            dec_input = replace_pct_rand_values(
+                k2, batch["input_ids"], dec_pct, 0, dec_vocab)
         out = model.apply(
             {"params": params},
             batch["input_ids"],
             batch["attention_mask"],
             deterministic=deterministic,
             is_training=is_training,
-            rngs=rngs,
+            decoder_input_ids=dec_input,
+            rngs={k: v for k, v in rngs.items() if k != "perturb"},
         )
         loss_recon, recon_ids = _recon(out, batch["input_ids"], valid)
         loss_recon = loss_recon * o.loss_recon_rescale_factor * o.loss_recon_weight

@@ -43,6 +43,23 @@ def main():
                     "to a near-constant, making codebook perplexity 1 — "
                     "RESULTS.md round 3)")
     ap.add_argument("--out", default=None, help="write the JSON summary here too")
+    ap.add_argument("--stage4-epochs", type=int, default=0,
+                    help="optional stage 4 (decoder adaptation): continue the "
+                    "stage-3 vq-ft checkpoint with --stage4-mode trainable at "
+                    "--stage4-lr. vq-ft converges the codebook but caps clean "
+                    "accuracy at what the FROZEN decoder extracts from "
+                    "quantized latents (measured ~90% at bert-base, "
+                    "FLAGSHIP_MEASURED.json); this stage lets the decoder "
+                    "adapt to z_q while perplexity is tracked for drift")
+    ap.add_argument("--stage4-mode", default="full",
+                    help="model_mode for stage 4 (full | dec-head-ft | ...)")
+    ap.add_argument("--stage4-lr", type=float, default=2e-5)
+    ap.add_argument("--stage4-perturb", type=float, default=None,
+                    help="decoder-input corruption for stage 4 (default: "
+                    "--dec-perturb; keep high to stop the copy path from "
+                    "re-collapsing the encoder)")
+    ap.add_argument("--vq-run", default=None,
+                    help="reuse an existing stage-3 run dir (skip stages 1-3)")
     ap.add_argument("--tiny", action="store_true",
                     help="4-layer/256-hidden smoke geometry (CPU wiring check)")
     ap.add_argument("--lim-batches", type=float, default=1.0,
@@ -95,6 +112,16 @@ def main():
         return RunConfig.from_flat_dict(flat)
 
     summary = {}
+
+    if args.vq_run:
+        vq_dir = args.vq_run
+        print(f"[flagship] stages 1-3 skipped, reusing {vq_dir}", flush=True)
+        _stage4(args, base_cfg, vq_dir, summary)
+        print(json.dumps(summary))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(summary, f, indent=2)
+        return
 
     # ---- stage 1: bert-base Bagon ----------------------------------------
     if args.bagon_run:
@@ -159,10 +186,55 @@ def main():
     }
     print(f"[flagship] stage 3 done: {json.dumps(summary['shelgon3_vq_ft'])}", flush=True)
 
+    _stage4(args, base_cfg, engine.run_path, summary)
+
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:
             json.dump(summary, f, indent=2)
+
+
+def _stage4(args, base_cfg, vq_dir, summary):
+    """Stage 4 (optional): decoder adaptation to the quantized latents.
+
+    Continues the converged stage-3 checkpoint (codebook placed, perplexity
+    established) with --stage4-mode trainable at a low lr. vq-ft freezes the
+    decoder (Bagon.py:168-177), so its clean-input accuracy is capped by how
+    well a decoder trained on CONTINUOUS encoder states reads z_q; adapting
+    it closes that gap. Perplexity stays in the loss/metrics, so any
+    codebook-utilization drift is measured, not hidden.
+    """
+    import time
+
+    from kindergarten_vq_vae_tpu.ckpt.checkpoint import best_ckpt_name
+    from kindergarten_vq_vae_tpu.train.config import RunConfig
+    from kindergarten_vq_vae_tpu.train.run import run_training
+
+    if not args.stage4_epochs:
+        return
+    vq_ckpt = os.path.join(vq_dir, best_ckpt_name("shelgon3", "loss_recon", "val"))
+    t0 = time.time()
+    cfg = base_cfg("shelgon3", args.stage4_epochs)
+    flat = cfg.get_config()
+    p4 = args.dec_perturb if args.stage4_perturb is None else args.stage4_perturb
+    flat.update(
+        model_mode=args.stage4_mode,
+        init_from_ckpt=vq_ckpt,
+        lr=args.stage4_lr,
+        decoder_perturb_train_pct=p4,
+        bagon_target_unperturbed=p4 > 0,
+    )
+    cfg = RunConfig.from_flat_dict(flat)
+    engine = run_training(cfg)
+    summary["shelgon3_stage4"] = {
+        "run_dir": engine.run_path,
+        "mode": args.stage4_mode,
+        "lr": args.stage4_lr,
+        "dec_perturb": p4,
+        "test_stats": {k: float(v) for k, v in engine.history[-1]["test"].items()},
+        "wall_s": round(time.time() - t0, 1),
+    }
+    print(f"[flagship] stage 4 done: {json.dumps(summary['shelgon3_stage4'])}", flush=True)
 
 
 if __name__ == "__main__":

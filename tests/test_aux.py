@@ -70,6 +70,35 @@ def test_resume_roundtrip(splits, tmp_path):
     assert int(eng2.state.step) > step_before
 
 
+def test_init_from_ckpt(splits, tmp_path):
+    """Staged training: a SAME-model checkpoint loads as fresh-run init
+    (cfg.model.init_from_ckpt) — weights match the checkpoint, optimizer and
+    step counters start from zero (unlike resume_state)."""
+    from kindergarten_vq_vae_tpu.ckpt.checkpoint import save_checkpoint
+
+    cfg = _tiny_cfg("shelgon3")
+    eng = Engine(cfg, splits)
+    eng.fit(console_print=False)
+    ck = str(tmp_path / "ck")
+    save_checkpoint(ck, eng.state.params)
+
+    flat = cfg.get_config()
+    flat.update(init_from_ckpt=ck, model_mode="vq-ft")
+    cfg2 = RunConfig.from_flat_dict(flat)
+    eng2 = Engine(cfg2, splits)
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.params["vector_quantizer"]["codebook"]),
+        np.asarray(eng2.state.params["vector_quantizer"]["codebook"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(eng.state.params["encoder"]["pooler"]["kernel"]),
+        np.asarray(eng2.state.params["encoder"]["pooler"]["kernel"]),
+    )
+    assert int(eng2.state.step) == 0  # fresh run, not a resume
+    eng2.fit(console_print=False)  # trains under the new mode
+    assert int(eng2.state.step) > 0
+
+
 def test_archive_sentence_discretizer_shapes():
     m = ArchiveSentenceDiscretizer(word_embedding_size=32, sentence_length=12)
     x = jnp.ones((4, 32))

@@ -28,6 +28,7 @@ def test_flagship_pipeline_tiny_cpu(tmp_path):
             "--bagon-epochs", "1", "--vq-epochs", "1",
             "--lim-batches", "0.1",
             "--dec-perturb", "0.5",
+            "--stage4-epochs", "1",
             "--runs-dir", str(runs),
             "--out", str(out),
         ],
@@ -40,7 +41,8 @@ def test_flagship_pipeline_tiny_cpu(tmp_path):
     )
 
     summary = json.loads(out.read_text())
-    assert set(summary) == {"bagon", "codebook_init", "shelgon3_vq_ft"}
+    assert set(summary) == {"bagon", "codebook_init", "shelgon3_vq_ft",
+                            "shelgon3_stage4"}
 
     # stage 1: finite stats and a reloadable best checkpoint consumed by 2+3
     bagon = summary["bagon"]["test_stats"]
@@ -58,4 +60,10 @@ def test_flagship_pipeline_tiny_cpu(tmp_path):
     vq = summary["shelgon3_vq_ft"]["test_stats"]
     assert 0.0 <= vq["metric_acc"] <= 100.0
     assert 1.0 <= vq["metric_perp"] <= 9.0
+
+    # stage 4: decoder adaptation continued the stage-3 checkpoint
+    s4 = summary["shelgon3_stage4"]
+    assert s4["mode"] == "full"
+    assert 0.0 <= s4["test_stats"]["metric_acc"] <= 100.0
+    assert 1.0 <= s4["test_stats"]["metric_perp"] <= 9.0
     assert vq["loss_vq"] >= 0.0

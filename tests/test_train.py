@@ -383,3 +383,38 @@ def test_async_checkpoint_writer(tmp_path):
     w.wait()
     assert os.path.exists(os.path.join(str(tmp_path / "again"), "0.npy"))
     assert threading.active_count() >= 1
+
+
+def test_shelgon3_decoder_corruption():
+    """Opt-in shelgon3 decoder-input corruption (decoder_perturb_train_pct):
+    the reference's shelgon3 feeds the SAME ids to encoder and decoder
+    (Shelgon.py:50-71, no perturbator) — measured at bert-base to let the
+    teacher-forced copy path re-collapse codebook perplexity to 1.0 when
+    the decoder trains (RESULTS.md stage 4). The corrupted path must change
+    the decoder input while keeping the CLEAN ids as the recon target."""
+    from kindergarten_vq_vae_tpu.train.variants import make_loss_fn
+
+    cfg = _tiny_cfg("shelgon3")
+    flat = cfg.get_config()
+    flat["decoder_perturb_train_pct"] = 0.9
+    cfg = RunConfig.from_flat_dict(flat)
+
+    params = init_params(cfg, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(1, 128, (8, 12)), jnp.int32),
+        "attention_mask": jnp.ones((8, 12), jnp.int32),
+        "n_valid": jnp.int32(8),
+    }
+    rngs = {"dropout": jax.random.key(1), "gumbel": jax.random.key(2),
+            "perturb": jax.random.key(3)}
+
+    lt, auxt = make_loss_fn(cfg, "train")(params, batch, rngs, True)
+    lv, auxv = make_loss_fn(cfg, "val")(params, batch, rngs, True)
+    # val has no corruption (decoder_perturb_val_pct=0): same clean forward
+    assert np.isfinite(float(lt)) and np.isfinite(float(lv))
+    # 90% of decoder inputs replaced -> the recon loss must move
+    assert abs(float(lt) - float(lv)) > 1e-6
+    # denoising: the target stays the CLEAN ids under corruption
+    np.testing.assert_array_equal(
+        np.asarray(auxt["target_ids"]), np.asarray(batch["input_ids"]))
