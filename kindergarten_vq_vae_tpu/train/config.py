@@ -114,13 +114,16 @@ class ModelConfig:
     # sentence-tile grid). Supersedes fused_attn when active. Same "auto"
     # semantics: single-device TPU only.
     fused_layer: str = "auto"            # "auto" | "on" | "off"
-    # tile sizes from the on-chip sweep (RESULTS.md): bwd at 32 sentences
+    # tile sizes from the on-chip sweeps (RESULTS.md): bwd at 32 sentences
     # (384 rows = exact MXU tiles for every projection/wgrad matmul), the
-    # attention sub-chunk at 8 (the packed score matmuls waste O(chunk))
-    layer_block_b_fwd: int = 64          # sentences per fused-layer fwd tile
+    # bwd attention sub-chunk at 8 (the packed score matmuls waste
+    # O(chunk)); fwd at 128 sentences with a 4-sentence attention chunk
+    # (round-3 quiet-chip sweep: 341.7 -> 339.0 ms/step at batch 2048;
+    # tbf=256 exceeds the compile budget)
+    layer_block_b_fwd: int = 128         # sentences per fused-layer fwd tile
     layer_block_b_bwd: int = 32          # sentences per fused-layer bwd tile
     layer_attn_chunk: int = 8            # sentences per attention sub-chunk
-    layer_attn_chunk_fwd: int = 0        # fwd-only chunk override; 0 = shared
+    layer_attn_chunk_fwd: int = 4        # fwd-only chunk override; 0 = shared
     vq_ema_update: bool = False          # EMA codebook path (new capability)
     vq_ema_decay: float = 0.99
     # dead-code revival (new capability; counters the index collapse a
