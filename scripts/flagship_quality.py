@@ -60,6 +60,10 @@ def main():
                     "re-collapsing the encoder)")
     ap.add_argument("--vq-run", default=None,
                     help="reuse an existing stage-3 run dir (skip stages 1-3)")
+    ap.add_argument("--ema", action="store_true",
+                    help="EMA codebook updates in stages 3+4 (vq_ema_update; "
+                    "the new-capability codebook path — the reference's VQ is "
+                    "loss-based only)")
     ap.add_argument("--tiny", action="store_true",
                     help="4-layer/256-hidden smoke geometry (CPU wiring check)")
     ap.add_argument("--lim-batches", type=float, default=1.0,
@@ -176,6 +180,7 @@ def main():
         model_mode="vq-ft",
         from_pretrained_bagon=bagon_ckpt,
         vq_codebook_init_values_path=cb_path,
+        vq_ema_update=args.ema,
     )
     vq_cfg = RunConfig.from_flat_dict(flat)
     engine = run_training(vq_cfg)
@@ -223,6 +228,7 @@ def _stage4(args, base_cfg, vq_dir, summary):
         lr=args.stage4_lr,
         decoder_perturb_train_pct=p4,
         bagon_target_unperturbed=p4 > 0,
+        vq_ema_update=args.ema,
     )
     cfg = RunConfig.from_flat_dict(flat)
     engine = run_training(cfg)
