@@ -26,6 +26,37 @@ def _decode_ids(tokenizer, ids):
     return tokenizer.batch_decode(np.asarray(ids)) if tokenizer is not None else None
 
 
+def masked_decoder_inputs(tokenizer, input_ids, attention_mask):
+    """All-[MASK] decoder inputs (padding preserved). Beyond-reference knob:
+    the reference's arithmetic scripts teacher-force the decoder with the
+    CLEAN target ids (latent_arithmetics_Bagon.py:119), so any model accurate
+    on clean inputs reproduces them verbatim and latent edits are invisible
+    (measured, RESULTS.md round 3). Masking every visible position forces the
+    reconstruction through cross-attention to the (edited) latent."""
+    from kindergarten_vq_vae_tpu.data.tokenizer import MASK
+
+    ids = np.asarray(input_ids)
+    return np.where(np.asarray(attention_mask) == 1, tokenizer.vocab[MASK], ids)
+
+
+def randomized_decoder_inputs(tokenizer, input_ids, attention_mask, pct=0.9, seed=0):
+    """Decoder inputs corrupted the way corruption-trained models saw them:
+    ``replace_pct_rand_values`` with uniform-random vocab tokens (the engine's
+    own `decoder_perturb_train_pct` mechanism, utils/tensor.py). All-[MASK]
+    inputs are out-of-distribution for those models (training never used the
+    MASK token); random-token corruption at the training pct is the
+    in-distribution way to disable the copy path at analysis time."""
+    import jax
+
+    from kindergarten_vq_vae_tpu.utils.tensor import replace_pct_rand_values
+
+    ids = np.asarray(input_ids)
+    corrupted = replace_pct_rand_values(
+        jax.random.key(seed), jnp.asarray(ids), float(pct), 0, tokenizer.vocab_size
+    )
+    return np.where(np.asarray(attention_mask) == 1, np.asarray(corrupted), ids)
+
+
 def _shelgon_conditioning(model, params, input_ids, attention_mask):
     ids, mask = input_ids, attention_mask
     out = model.apply(
@@ -44,20 +75,22 @@ def _decoder_apply(dec_cfg, dec_params, ids, mask, hidden):
 
 
 def latent_arithmetic_shelgon_conditioning(
-    model, params, group_a, group_b, targets, tokenizer=None
+    model, params, group_a, group_b, targets, tokenizer=None, decoder_input_ids=None
 ):
     """Δ in the conditioning (post-proj_out) space. group_a/group_b/targets
-    are dicts with input_ids + attention_mask."""
+    are dicts with input_ids + attention_mask. ``decoder_input_ids`` overrides
+    the teacher-forced decoder inputs (see ``masked_decoder_inputs``)."""
     cond_a, _ = _shelgon_conditioning(model, params, **group_a)
     cond_b, _ = _shelgon_conditioning(model, params, **group_b)
     delta = jnp.mean(cond_a, axis=0) - jnp.mean(cond_b, axis=0)
 
+    dec_ids = targets["input_ids"] if decoder_input_ids is None else decoder_input_ids
     cond_t, _ = _shelgon_conditioning(model, params, **targets)
     recon = _decoder_apply(
-        model.dec_cfg, params["decoder"], targets["input_ids"], targets["attention_mask"], cond_t + delta
+        model.dec_cfg, params["decoder"], dec_ids, targets["attention_mask"], cond_t + delta
     )
     base = _decoder_apply(
-        model.dec_cfg, params["decoder"], targets["input_ids"], targets["attention_mask"], cond_t
+        model.dec_cfg, params["decoder"], dec_ids, targets["attention_mask"], cond_t
     )
     return {
         "delta": np.asarray(delta),
@@ -79,17 +112,20 @@ def _shelgon_bottleneck(model, params, h):
     return y @ p["proj_out_dense"]["kernel"] + p["proj_out_dense"]["bias"]
 
 
-def latent_arithmetic_shelgon_sentence(model, params, group_a, group_b, targets, tokenizer=None):
+def latent_arithmetic_shelgon_sentence(
+    model, params, group_a, group_b, targets, tokenizer=None, decoder_input_ids=None
+):
     """Δ in the raw encoder-output space, pushed through the bottleneck."""
     _, h_a = _shelgon_conditioning(model, params, **group_a)
     _, h_b = _shelgon_conditioning(model, params, **group_b)
     delta = jnp.mean(h_a, axis=0) - jnp.mean(h_b, axis=0)
 
+    dec_ids = targets["input_ids"] if decoder_input_ids is None else decoder_input_ids
     _, h_t = _shelgon_conditioning(model, params, **targets)
     cond_shift = _shelgon_bottleneck(model, params, h_t + delta)
     cond_base = _shelgon_bottleneck(model, params, h_t)
-    shifted = _decoder_apply(model.dec_cfg, params["decoder"], targets["input_ids"], targets["attention_mask"], cond_shift)
-    base = _decoder_apply(model.dec_cfg, params["decoder"], targets["input_ids"], targets["attention_mask"], cond_base)
+    shifted = _decoder_apply(model.dec_cfg, params["decoder"], dec_ids, targets["attention_mask"], cond_shift)
+    base = _decoder_apply(model.dec_cfg, params["decoder"], dec_ids, targets["attention_mask"], cond_base)
     return {
         "delta": np.asarray(delta),
         "base_recon_ids": np.asarray(base),
@@ -99,7 +135,9 @@ def latent_arithmetic_shelgon_sentence(model, params, group_a, group_b, targets,
     }
 
 
-def latent_arithmetic_bagon(model, params, group_a, group_b, targets, tokenizer=None):
+def latent_arithmetic_bagon(
+    model, params, group_a, group_b, targets, tokenizer=None, decoder_input_ids=None
+):
     """Δ directly in Bagon encoder space (latent_arithmetics_Bagon.py:96,119)."""
     def encode(d):
         out = BertModel(model.enc_cfg).apply(
@@ -108,10 +146,11 @@ def latent_arithmetic_bagon(model, params, group_a, group_b, targets, tokenizer=
         )
         return out["last_hidden_state"]
 
+    dec_ids = targets["input_ids"] if decoder_input_ids is None else decoder_input_ids
     h_a, h_b, h_t = encode(group_a), encode(group_b), encode(targets)
     delta = jnp.mean(h_a, axis=0) - jnp.mean(h_b, axis=0)
-    shifted = _decoder_apply(model.dec_cfg, params["decoder"], targets["input_ids"], targets["attention_mask"], h_t + delta)
-    base = _decoder_apply(model.dec_cfg, params["decoder"], targets["input_ids"], targets["attention_mask"], h_t)
+    shifted = _decoder_apply(model.dec_cfg, params["decoder"], dec_ids, targets["attention_mask"], h_t + delta)
+    base = _decoder_apply(model.dec_cfg, params["decoder"], dec_ids, targets["attention_mask"], h_t)
     return {
         "delta": np.asarray(delta),
         "base_recon_ids": np.asarray(base),
@@ -167,6 +206,15 @@ def _main():
     p.add_argument("--a", default="present", help="factor value of group A")
     p.add_argument("--b", default="past", help="factor value of group B")
     p.add_argument("--n", type=int, default=64, help="sentences per group / targets")
+    p.add_argument("--dec-input", default="clean", choices=("clean", "mask", "rand"),
+                   help="decoder teacher-forcing inputs: 'clean' = the target ids "
+                        "(the reference's design), 'mask' = all-[MASK], or 'rand' = "
+                        "random-token corruption at --dec-rand-pct (the engine's own "
+                        "training corruption; in-distribution for corruption-trained "
+                        "models). Both non-clean modes force the reconstruction "
+                        "through cross-attention so latent edits are visible "
+                        "(beyond-reference)")
+    p.add_argument("--dec-rand-pct", type=float, default=0.9)
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -177,12 +225,20 @@ def _main():
     # flip them toward A), drawn from the val split
     targets, _ = _factor_groups(splits["val"], args.factor, args.b, args.a, args.n)
 
+    dec_ids = None
+    if args.dec_input == "mask":
+        dec_ids = masked_decoder_inputs(tokenizer, targets["input_ids"], targets["attention_mask"])
+    elif args.dec_input == "rand":
+        dec_ids = randomized_decoder_inputs(
+            tokenizer, targets["input_ids"], targets["attention_mask"], pct=args.dec_rand_pct
+        )
+
     fn = {
         "conditioning": latent_arithmetic_shelgon_conditioning,
         "sentence": latent_arithmetic_shelgon_sentence,
         "bagon": latent_arithmetic_bagon,
     }[args.mode]
-    res = fn(model, params, group_a, group_b, targets, tokenizer)
+    res = fn(model, params, group_a, group_b, targets, tokenizer, decoder_input_ids=dec_ids)
 
     for base, shifted in zip(res.get("base_recon") or [], res.get("shifted_recon") or []):
         print(f"base   : {base}\nshifted: {shifted}\n")

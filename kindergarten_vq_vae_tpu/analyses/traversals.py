@@ -36,32 +36,38 @@ def latent_traversals_shelgon(
     attention_mask: np.ndarray,
     override_matrix: np.ndarray,
     tokenizer=None,
+    decoder_input_ids=None,
 ):
     """``override_matrix``: (num_latent_classes, num_labels_per_class) or a
     (B, C, L) per-sentence batch. Returns dict with original + traversed
-    reconstructions (decoded when a tokenizer is given)."""
+    reconstructions (decoded when a tokenizer is given). ``decoder_input_ids``
+    overrides the teacher-forced decoder inputs (e.g. all-[MASK] via
+    ``analyses.arithmetic.masked_decoder_inputs`` — the reference feeds the
+    clean target ids, so traversals are invisible on any model accurate on
+    clean inputs; measured, RESULTS.md round 3)."""
     ids = jnp.asarray(input_ids)
     mask = jnp.asarray(attention_mask)
+    dec_ids = ids if decoder_input_ids is None else jnp.asarray(decoder_input_ids)
 
-    def _run(p, ids_, mask_, override):
+    def _run(p, ids_, mask_, dec_ids_, override):
         out = model.apply(
-            {"params": p}, ids_, mask_, ids_, mask_,
+            {"params": p}, ids_, mask_, dec_ids_, mask_,
             deterministic=True,
             override_latent_classes=override,
             rngs={"gumbel": jax.random.key(0)},
         )
         return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
 
-    def _run_plain(p, ids_, mask_):
+    def _run_plain(p, ids_, mask_, dec_ids_):
         out = model.apply(
-            {"params": p}, ids_, mask_, ids_, mask_,
+            {"params": p}, ids_, mask_, dec_ids_, mask_,
             deterministic=True,
             rngs={"gumbel": jax.random.key(0)},
         )
         return jnp.argmax(out["logits"], axis=-1), out["pred_latent_classes"]
 
-    run = _tpu_jit(_run, params, ids, mask)
-    run_plain = _tpu_jit(_run_plain, params, ids, mask)
+    run = _tpu_jit(_run, params, ids, mask, dec_ids)
+    run_plain = _tpu_jit(_run_plain, params, ids, mask, dec_ids)
 
     orig_ids, orig_latents = run_plain()
     override = jnp.asarray(override_matrix, jnp.float32)
@@ -103,6 +109,13 @@ def _main():
                         "to a .json holding one; default sets every class to label 0 "
                         "(the reference hand-writes this matrix, ref :130-138)")
     p.add_argument("--n", type=int, default=16, help="max sentences to traverse")
+    p.add_argument("--dec-input", default="clean", choices=("clean", "mask", "rand"),
+                   help="decoder teacher-forcing inputs: 'clean' = target ids "
+                        "(reference design), 'mask' = all-[MASK], 'rand' = "
+                        "random-token corruption at --dec-rand-pct (matches the "
+                        "training corruption; forces the decode through the "
+                        "latent; beyond-reference)")
+    p.add_argument("--dec-rand-pct", type=float, default=0.9)
     p.add_argument("--out", default=None, help="write results JSON here")
     args = p.parse_args()
 
@@ -140,7 +153,19 @@ def _main():
         override = np.zeros((c, l), np.float32)
         override[:, 0] = 1.0
 
-    res = latent_traversals_shelgon(model, params, ids, mask, override, tokenizer)
+    dec_ids = None
+    if args.dec_input == "mask":
+        from kindergarten_vq_vae_tpu.analyses.arithmetic import masked_decoder_inputs
+
+        dec_ids = masked_decoder_inputs(tokenizer, ids, mask)
+    elif args.dec_input == "rand":
+        from kindergarten_vq_vae_tpu.analyses.arithmetic import randomized_decoder_inputs
+
+        dec_ids = randomized_decoder_inputs(tokenizer, ids, mask, pct=args.dec_rand_pct)
+
+    res = latent_traversals_shelgon(
+        model, params, ids, mask, override, tokenizer, decoder_input_ids=dec_ids
+    )
     for orig, trav in zip(res.get("original_recon", []), res.get("traversed_recon", [])):
         print(f"orig: {orig}\ntrav: {trav}\n")
     if args.out:

@@ -135,6 +135,55 @@ def test_latent_arithmetic(splits, tiny_corpus, which):
     assert len(out["shifted_recon"]) == 4
 
 
+def test_masked_decoder_inputs_force_latent_path(splits, tiny_corpus):
+    """--dec-input mask: decoder inputs become all-[MASK] at visible positions
+    (padding preserved), and the analyses accept them as overrides."""
+    from kindergarten_vq_vae_tpu.analyses.arithmetic import masked_decoder_inputs
+    from kindergarten_vq_vae_tpu.data.tokenizer import MASK, PAD
+
+    tok = tiny_corpus["tokenizer"]
+    tr = splits["train"]
+    b = _small_batch(tr, 4)
+    dec = masked_decoder_inputs(tok, b["input_ids"], b["attention_mask"])
+    am = np.asarray(b["attention_mask"])
+    assert (dec[am == 1] == tok.vocab[MASK]).all()
+    assert (dec[am == 0] == np.asarray(b["input_ids"])[am == 0]).all()
+
+    from kindergarten_vq_vae_tpu.analyses.arithmetic import randomized_decoder_inputs
+
+    rnd = randomized_decoder_inputs(tok, b["input_ids"], b["attention_mask"], pct=0.9)
+    assert rnd.shape == np.asarray(b["input_ids"]).shape
+    assert (rnd[am == 0] == np.asarray(b["input_ids"])[am == 0]).all()
+    assert (rnd[am == 1] != np.asarray(b["input_ids"])[am == 1]).mean() > 0.5
+
+    cfg = _tiny_cfg("bagon")
+    model = build_model(cfg, "test")
+    params = init_params(cfg, jax.random.key(0))
+    a, b_, t = b, {
+        "input_ids": tr.input_ids[4:8], "attention_mask": tr.attention_mask[4:8]
+    }, {
+        "input_ids": tr.input_ids[8:12], "attention_mask": tr.attention_mask[8:12]
+    }
+    dec_t = masked_decoder_inputs(tok, t["input_ids"], t["attention_mask"])
+    out = latent_arithmetic_bagon(
+        model, params, a, b_, t, tokenizer=tok, decoder_input_ids=dec_t
+    )
+    assert out["shifted_recon_ids"].shape == t["input_ids"].shape
+
+    cfg_s = _tiny_cfg("shelgon")
+    model_s = build_model(cfg_s, "test")
+    params_s = init_params(cfg_s, jax.random.key(0))
+    override = np.zeros((5, 3), np.float32)
+    override[:, 0] = 1.0
+    from kindergarten_vq_vae_tpu.analyses.traversals import latent_traversals_shelgon
+
+    out_t = latent_traversals_shelgon(
+        model_s, params_s, t["input_ids"], t["attention_mask"], override,
+        tokenizer=tok, decoder_input_ids=dec_t,
+    )
+    assert out_t["traversed_recon_ids"].shape == np.asarray(t["input_ids"]).shape
+
+
 def test_cross_attention_extract_and_plot(splits, tmp_path):
     cfg = _tiny_cfg("shelgon3")
     model = build_model(cfg, "test")
