@@ -157,22 +157,21 @@ def _t(x):
     return np.asarray(x).T
 
 
-def export_decoder_state_dict(params: dict, cfg: BertConfig) -> dict:
-    """Inverse converter: Flax BertLMHeadModel params -> HF torch-style
-    state_dict (numpy values). Lets weights trained here load into the
-    reference's PyTorch stack (checkpoint-ecosystem bridge)."""
+def _export_trunk(trunk: dict, cfg: BertConfig, prefix: str) -> dict:
+    """Flax BertModel trunk params -> HF torch-style state_dict entries with
+    the given key prefix ('' for a bare BertModel, 'bert.' inside an
+    LMHeadModel)."""
     import numpy as np
 
-    trunk = params["bert"]
     sd: dict = {}
     emb = trunk["embeddings"]
-    sd["bert.embeddings.word_embeddings.weight"] = np.asarray(emb["word_embeddings"]["embedding"])
-    sd["bert.embeddings.position_embeddings.weight"] = np.asarray(emb["position_embeddings"])
-    sd["bert.embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type_embeddings"]["embedding"])
-    sd["bert.embeddings.LayerNorm.weight"] = np.asarray(emb["layer_norm"]["scale"])
-    sd["bert.embeddings.LayerNorm.bias"] = np.asarray(emb["layer_norm"]["bias"])
+    sd[f"{prefix}embeddings.word_embeddings.weight"] = np.asarray(emb["word_embeddings"]["embedding"])
+    sd[f"{prefix}embeddings.position_embeddings.weight"] = np.asarray(emb["position_embeddings"])
+    sd[f"{prefix}embeddings.token_type_embeddings.weight"] = np.asarray(emb["token_type_embeddings"]["embedding"])
+    sd[f"{prefix}embeddings.LayerNorm.weight"] = np.asarray(emb["layer_norm"]["scale"])
+    sd[f"{prefix}embeddings.LayerNorm.bias"] = np.asarray(emb["layer_norm"]["bias"])
     for i in range(cfg.num_layers):
-        lp = f"bert.encoder.layer.{i}"
+        lp = f"{prefix}encoder.layer.{i}"
         layer = trunk[f"layer_{i}"]
         qkv_k = np.asarray(layer["self_attn"]["qkv"]["kernel"])
         qkv_b = np.asarray(layer["self_attn"]["qkv"]["bias"])
@@ -204,6 +203,26 @@ def export_decoder_state_dict(params: dict, cfg: BertConfig) -> dict:
         sd[f"{lp}.output.dense.bias"] = np.asarray(layer["mlp"]["output"]["bias"])
         sd[f"{lp}.output.LayerNorm.weight"] = np.asarray(layer["mlp"]["layer_norm"]["scale"])
         sd[f"{lp}.output.LayerNorm.bias"] = np.asarray(layer["mlp"]["layer_norm"]["bias"])
+    if "pooler" in trunk:
+        sd[f"{prefix}pooler.dense.weight"] = _t(trunk["pooler"]["kernel"])
+        sd[f"{prefix}pooler.dense.bias"] = np.asarray(trunk["pooler"]["bias"])
+    return sd
+
+
+def export_encoder_state_dict(params: dict, cfg: BertConfig) -> dict:
+    """Inverse converter: Flax BertModel params -> HF torch-style state_dict
+    (numpy values) with the bare-BertModel key layout — the reference's
+    ``encoder_state_dict`` bundle entry (models/bagon/Trainer.py:283)."""
+    return _export_trunk(params, cfg, "")
+
+
+def export_decoder_state_dict(params: dict, cfg: BertConfig) -> dict:
+    """Inverse converter: Flax BertLMHeadModel params -> HF torch-style
+    state_dict (numpy values). Lets weights trained here load into the
+    reference's PyTorch stack (checkpoint-ecosystem bridge)."""
+    import numpy as np
+
+    sd = _export_trunk(params["bert"], cfg, "bert.")
     head = params["mlm_head"]
     sd["cls.predictions.transform.dense.weight"] = _t(head["transform_dense"]["kernel"])
     sd["cls.predictions.transform.dense.bias"] = np.asarray(head["transform_dense"]["bias"])
