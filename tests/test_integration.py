@@ -163,3 +163,32 @@ def test_remat_engine(trained_run, tmp_path):
     eng = Engine(cfg2, splits, tokenizer=tok)
     history = eng.fit(console_print=False)
     assert np.isfinite(history[0]["train"]["loss_recon"])
+
+
+def test_serve_export_roundtrip(trained_run, tmp_path, monkeypatch, capsys):
+    """jax.export serving artifact: export the reconstruction forward,
+    deserialize, and match the live forward exactly (serve/export.py)."""
+    from kindergarten_vq_vae_tpu.serve import export as serve_export
+    from kindergarten_vq_vae_tpu.serve.reconstructor import Reconstructor
+
+    cfg, engine = trained_run
+    out = str(tmp_path / "artifact")
+    _cli(serve_export, [engine.run_path, "--bucket", "8", "--out", out, "--check"],
+         monkeypatch)
+    text = capsys.readouterr().out
+    assert "check OK" in text
+    assert os.path.exists(out + ".stablehlo") and os.path.exists(out + ".json")
+
+    # a fresh process-equivalent consumer: load + run without the exporter
+    import jax
+    import jax.numpy as jnp
+
+    call, meta = serve_export.load_exported(out)
+    assert meta["bucket"] == 8 and meta["model_name"] == "shelgon3"
+    r = Reconstructor(engine.run_path, batch_buckets=(8,))
+    ids = jnp.asarray(np.random.default_rng(1).integers(1, 100, (8, meta["seq_len"])), jnp.int32)
+    mask = jnp.ones_like(ids)
+    got_r, got_c = call(r.params, ids, mask)
+    want_r, want_c = jax.jit(r._forward)(r.params, ids, mask)
+    np.testing.assert_array_equal(np.asarray(got_r), np.asarray(want_r))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
