@@ -77,19 +77,24 @@ def main():
     emb = jnp.asarray(rng.normal(size=(n_e, e_dim)), jnp.float32)
 
     def timed(fn, label):
+        # consume z_q AND the loss partials: the train step uses both, and
+        # timing z_q alone lets XLA dead-code the oracle's loss/stats work
+        # while the opaque Pallas kernel always computes everything —
+        # an unfair A/B (round-3 finding)
         @jax.jit
-        def step(z_in):
-            return fn(z_in, emb, 0.25).z_q
+        def step(z_in, acc):
+            out = fn(z_in, emb, 0.25)
+            return out.z_q, acc + out.loss + out.perplexity
 
-        cur = step(z)
+        cur, acc = step(z, jnp.float32(0.0))
         jax.block_until_ready(cur)
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            cur = z
+            cur, acc = z, jnp.float32(0.0)
             for _ in range(args.steps):
-                cur = step(cur)
-            float(jnp.sum(cur[:1, :1, :1]))
+                cur, acc = step(cur, acc)
+            float(acc + jnp.sum(cur[:1, :1, :1]))
             dt = (time.perf_counter() - t0) / args.steps * 1e6
             best = dt if best is None else min(best, dt)
         print(f"{label}: {best:8.1f} us/call at ({B}x{S}, {e_dim}) x {n_e}")
@@ -110,21 +115,24 @@ def main():
     n_inner = 200
 
     def timed_scan(fn, label):
+        # loss+perplexity consumed for the same DCE-fairness reason as above
         @jax.jit
         def chain(z_in):
             def body(c, _):
-                return fn(c, emb, 0.25).z_q, ()
+                z_c, acc = c
+                out = fn(z_c, emb, 0.25)
+                return (out.z_q, acc + out.loss + out.perplexity), ()
 
-            c, _ = lax.scan(body, z_in, None, length=n_inner)
-            return c
+            (c, acc), _ = lax.scan(body, (z_in, jnp.float32(0.0)), None, length=n_inner)
+            return c, acc
 
-        cur = chain(z)
+        cur, acc = chain(z)
         jax.block_until_ready(cur)
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            cur = chain(z)
-            float(jnp.sum(cur[:1, :1, :1]))
+            cur, acc = chain(z)
+            float(acc + jnp.sum(cur[:1, :1, :1]))
             dt = (time.perf_counter() - t0) / n_inner * 1e6
             best = dt if best is None else min(best, dt)
         print(f"{label} (in-jit scan x{n_inner}): {best:8.1f} us/call")
