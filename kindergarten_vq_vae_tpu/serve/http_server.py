@@ -74,9 +74,12 @@ def main():
     p.add_argument("run_dir")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--ckpt", default=None)
+    p.add_argument("--artifact", default=None,
+                   help="serve a pre-compiled jax.export artifact "
+                        "(serve/export.py) instead of jitting the forward")
     args = p.parse_args()
 
-    rec = Reconstructor(args.run_dir, args.ckpt)
+    rec = Reconstructor(args.run_dir, args.ckpt, artifact=args.artifact)
     server = serve_http(rec, args.port)
     print(f"serving {rec.model_name} from {args.run_dir} on :{args.port}")
     server.serve_forever()

@@ -22,7 +22,8 @@ import numpy as np
 
 class Reconstructor:
     def __init__(self, run_path: str, ckpt_name: str | None = None,
-                 batch_buckets: tuple = (8, 64, 256), tokenizer=None):
+                 batch_buckets: tuple = (8, 64, 256), tokenizer=None,
+                 artifact: str | None = None):
         from kindergarten_vq_vae_tpu.analyses.common import load_run
         from kindergarten_vq_vae_tpu.data.tokenizer import _BaseTokenizer
 
@@ -35,6 +36,23 @@ class Reconstructor:
         self.buckets = tuple(sorted(batch_buckets))
         self.model_name = self.cfg.model.model_name
         self._fns: dict[int, callable] = {}
+        if artifact is not None:
+            # serve the pre-compiled jax.export artifact (serve/export.py)
+            # instead of jitting the live forward: no model tracing/compile
+            # in the serving process
+            import functools
+
+            from kindergarten_vq_vae_tpu.serve.export import load_exported
+
+            call, meta = load_exported(artifact)
+            if meta["model_name"] != self.model_name or meta["seq_len"] != self.seq_len:
+                raise ValueError(
+                    f"artifact {artifact} was exported for "
+                    f"{meta['model_name']}/seq{meta['seq_len']}, run is "
+                    f"{self.model_name}/seq{self.seq_len}"
+                )
+            self.buckets = (int(meta["bucket"]),)
+            self._fns[self.buckets[0]] = functools.partial(call, self.params)
 
     # ------------------------------------------------------------------ core
 

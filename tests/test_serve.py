@@ -91,3 +91,37 @@ def test_http_server(served_run):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_reconstructor_from_exported_artifact(served_run, tmp_path):
+    """--artifact mode: the Reconstructor serves a pre-compiled jax.export
+    program (serve/export.py) and matches the live-jit reconstructions."""
+    from kindergarten_vq_vae_tpu.serve.export import export_reconstructor
+    from kindergarten_vq_vae_tpu.serve.reconstructor import Reconstructor
+
+    out, meta = export_reconstructor(
+        served_run, bucket=4, out_path=str(tmp_path / "art")
+    )
+    assert meta["bucket"] == 4
+
+    rec_art = Reconstructor(served_run, artifact=out)
+    rec_live = Reconstructor(served_run, batch_buckets=(4,))
+    sentences = ["i eat the apple", "he is not buying the mango"]
+    got = rec_art.reconstruct(sentences)
+    want = rec_live.reconstruct(sentences)
+    assert [r["reconstruction"] for r in got] == [r["reconstruction"] for r in want]
+    assert rec_art.buckets == (4,)
+
+    # geometry mismatch is rejected
+    import pytest as _pytest
+
+    out2, _ = export_reconstructor(served_run, bucket=4, out_path=str(tmp_path / "art2"))
+    import json as _json
+
+    with open(out2 + ".json") as f:
+        m = _json.load(f)
+    m["seq_len"] = 99
+    with open(out2 + ".json", "w") as f:
+        _json.dump(m, f)
+    with _pytest.raises(ValueError, match="exported for"):
+        Reconstructor(served_run, artifact=out2)
