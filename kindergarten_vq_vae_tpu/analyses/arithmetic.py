@@ -20,6 +20,7 @@ import numpy as np
 
 from kindergarten_vq_vae_tpu.nn.bert import BertLMHeadModel, BertModel
 from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_softmax
+from kindergarten_vq_vae_tpu.utils.compile import tpu_jit
 
 
 def _decode_ids(tokenizer, ids):
@@ -58,20 +59,28 @@ def randomized_decoder_inputs(tokenizer, input_ids, attention_mask, pct=0.9, see
 
 
 def _shelgon_conditioning(model, params, input_ids, attention_mask):
-    ids, mask = input_ids, attention_mask
-    out = model.apply(
-        {"params": params}, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(ids), jnp.asarray(mask),
-        deterministic=True, rngs={"gumbel": jax.random.key(0)},
-    )
-    return out["conditioning"], out["encoder_last_hidden_state"]
+    # jit with params as ARGUMENTS (closed-over param trees lower to HLO
+    # constants and blow the remote-compile payload limit, CLAUDE.md); eager
+    # apply additionally pays per-op tunnel dispatch at flagship scale
+    def _fwd(p, ids, mask):
+        out = model.apply(
+            {"params": p}, ids, mask, ids, mask,
+            deterministic=True, rngs={"gumbel": jax.random.key(0)},
+        )
+        return out["conditioning"], out["encoder_last_hidden_state"]
+
+    ids = jnp.asarray(input_ids)
+    return tpu_jit(_fwd, params)(ids, jnp.asarray(attention_mask))
 
 
 def _decoder_apply(dec_cfg, dec_params, ids, mask, hidden):
-    out = BertLMHeadModel(dec_cfg).apply(
-        {"params": dec_params}, jnp.asarray(ids), jnp.asarray(mask),
-        encoder_hidden_states=hidden, deterministic=True,
-    )
-    return jnp.argmax(out["logits"], axis=-1)
+    def _fwd(p, ids_, mask_, h):
+        out = BertLMHeadModel(dec_cfg).apply(
+            {"params": p}, ids_, mask_, encoder_hidden_states=h, deterministic=True,
+        )
+        return jnp.argmax(out["logits"], axis=-1)
+
+    return tpu_jit(_fwd, dec_params)(jnp.asarray(ids), jnp.asarray(mask), hidden)
 
 
 def latent_arithmetic_shelgon_conditioning(
@@ -139,12 +148,16 @@ def latent_arithmetic_bagon(
     model, params, group_a, group_b, targets, tokenizer=None, decoder_input_ids=None
 ):
     """Δ directly in Bagon encoder space (latent_arithmetics_Bagon.py:96,119)."""
-    def encode(d):
+    def _enc(p, ids, mask):
         out = BertModel(model.enc_cfg).apply(
-            {"params": params["encoder"]}, jnp.asarray(d["input_ids"]),
-            attention_mask=jnp.asarray(d["attention_mask"]), deterministic=True,
+            {"params": p}, ids, attention_mask=mask, deterministic=True,
         )
         return out["last_hidden_state"]
+
+    def encode(d):
+        return tpu_jit(_enc, params["encoder"])(
+            jnp.asarray(d["input_ids"]), jnp.asarray(d["attention_mask"])
+        )
 
     dec_ids = targets["input_ids"] if decoder_input_ids is None else decoder_input_ids
     h_a, h_b, h_t = encode(group_a), encode(group_b), encode(targets)
