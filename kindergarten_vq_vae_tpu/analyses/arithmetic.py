@@ -20,7 +20,6 @@ import numpy as np
 
 from kindergarten_vq_vae_tpu.nn.bert import BertLMHeadModel, BertModel
 from kindergarten_vq_vae_tpu.ops.gumbel import gumbel_softmax
-from kindergarten_vq_vae_tpu.utils.compile import tpu_jit
 
 
 def _decode_ids(tokenizer, ids):
@@ -58,29 +57,52 @@ def randomized_decoder_inputs(tokenizer, input_ids, attention_mask, pct=0.9, see
     return np.where(np.asarray(attention_mask) == 1, np.asarray(corrupted), ids)
 
 
-def _shelgon_conditioning(model, params, input_ids, attention_mask):
-    # jit with params as ARGUMENTS (closed-over param trees lower to HLO
-    # constants and blow the remote-compile payload limit, CLAUDE.md); eager
-    # apply additionally pays per-op tunnel dispatch at flagship scale
-    def _fwd(p, ids, mask):
-        out = model.apply(
-            {"params": p}, ids, mask, ids, mask,
-            deterministic=True, rngs={"gumbel": jax.random.key(0)},
-        )
-        return out["conditioning"], out["encoder_last_hidden_state"]
+# jitted forwards, cached per model/config: a fresh closure per call would
+# defeat jax.jit's cache and recompile the identical program on every call
+# (three _shelgon_conditioning calls per arithmetic run — minutes each at
+# flagship scale through the remote-compile service)
+_JIT_CACHE: dict = {}
 
-    ids = jnp.asarray(input_ids)
-    return tpu_jit(_fwd, params)(ids, jnp.asarray(attention_mask))
+
+def _cached_jit(key, make_fn):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+        fn = _JIT_CACHE[key] = jax.jit(make_fn(), compiler_options=tpu_compiler_options())
+    return fn
+
+
+def _shelgon_conditioning(model, params, input_ids, attention_mask):
+    # params is a jit ARGUMENT, never a closure (closed-over param trees
+    # lower to HLO constants and blow the remote-compile payload limit,
+    # CLAUDE.md); eager apply additionally pays per-op tunnel dispatch
+    def make():
+        def _fwd(p, ids, mask):
+            out = model.apply(
+                {"params": p}, ids, mask, ids, mask,
+                deterministic=True, rngs={"gumbel": jax.random.key(0)},
+            )
+            return out["conditioning"], out["encoder_last_hidden_state"]
+
+        return _fwd
+
+    fn = _cached_jit(("cond", id(model)), make)
+    return fn(params, jnp.asarray(input_ids), jnp.asarray(attention_mask))
 
 
 def _decoder_apply(dec_cfg, dec_params, ids, mask, hidden):
-    def _fwd(p, ids_, mask_, h):
-        out = BertLMHeadModel(dec_cfg).apply(
-            {"params": p}, ids_, mask_, encoder_hidden_states=h, deterministic=True,
-        )
-        return jnp.argmax(out["logits"], axis=-1)
+    def make():
+        def _fwd(p, ids_, mask_, h):
+            out = BertLMHeadModel(dec_cfg).apply(
+                {"params": p}, ids_, mask_, encoder_hidden_states=h, deterministic=True,
+            )
+            return jnp.argmax(out["logits"], axis=-1)
 
-    return tpu_jit(_fwd, dec_params)(jnp.asarray(ids), jnp.asarray(mask), hidden)
+        return _fwd
+
+    fn = _cached_jit(("dec", dec_cfg), make)
+    return fn(dec_params, jnp.asarray(ids), jnp.asarray(mask), hidden)
 
 
 def latent_arithmetic_shelgon_conditioning(
@@ -148,15 +170,20 @@ def latent_arithmetic_bagon(
     model, params, group_a, group_b, targets, tokenizer=None, decoder_input_ids=None
 ):
     """Δ directly in Bagon encoder space (latent_arithmetics_Bagon.py:96,119)."""
-    def _enc(p, ids, mask):
-        out = BertModel(model.enc_cfg).apply(
-            {"params": p}, ids, attention_mask=mask, deterministic=True,
-        )
-        return out["last_hidden_state"]
+    def make():
+        def _enc(p, ids, mask):
+            out = BertModel(model.enc_cfg).apply(
+                {"params": p}, ids, attention_mask=mask, deterministic=True,
+            )
+            return out["last_hidden_state"]
+
+        return _enc
+
+    enc_fn = _cached_jit(("enc", model.enc_cfg), make)
 
     def encode(d):
-        return tpu_jit(_enc, params["encoder"])(
-            jnp.asarray(d["input_ids"]), jnp.asarray(d["attention_mask"])
+        return enc_fn(
+            params["encoder"], jnp.asarray(d["input_ids"]), jnp.asarray(d["attention_mask"])
         )
 
     dec_ids = targets["input_ids"] if decoder_input_ids is None else decoder_input_ids
