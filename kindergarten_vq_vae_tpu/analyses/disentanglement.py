@@ -33,6 +33,81 @@ WORDS_OF_INTEREST = (
 
 
 from kindergarten_vq_vae_tpu.utils.compile import tpu_jit as _tpu_jit
+from kindergarten_vq_vae_tpu.utils.consts import CLEAN_FACTOR_NAMES
+
+
+def factor_code_metrics(codes, mask, labels, n_e, factor_names=CLEAN_FACTOR_NAMES):
+    """Quantitative factor<->code disentanglement (the reference only eyeballs
+    word histograms, unsupervised_vq_disentanglement.py:209-235 — this emits
+    numbers for the same checkpoint).
+
+    Treat each token POSITION as a latent dimension whose value is the
+    assigned codebook index. For every generative factor f and position s,
+    compute the mutual information I(label_f ; code_s) over sentences whose
+    attention mask covers s, normalized by H(label_f). Report per factor:
+
+    - ``nmi``: max_s I/H        (1.0 = some position's code determines f)
+    - ``position``: the argmax s
+    - ``gap``: (I_top - I_second)/H over positions — MIG-style: high when ONE
+      position encodes the factor rather than it being smeared everywhere
+    - ``purity``: token-level majority-vote accuracy of predicting f from the
+      code alone, sum_k P(k) max_v P(v|k), with the majority-class
+      ``baseline`` for reference (purity <= baseline means codes carry
+      nothing about f).
+
+    codes (N, S) int; mask (N, S) 0/1; labels (N, F) int. Pure numpy — runs
+    on the host after the batched jit inference collected the codes.
+    """
+    codes = np.asarray(codes)
+    mask = np.asarray(mask).astype(bool)
+    labels = np.asarray(labels)
+    n, s = codes.shape
+    out = {}
+    for f in range(labels.shape[1]):
+        lab = labels[:, f]
+        vals = np.unique(lab)
+        p_v = np.array([(lab == v).mean() for v in vals])
+        h_f = float(-(p_v * np.log(np.maximum(p_v, 1e-12))).sum())
+        name = factor_names[f] if f < len(factor_names) else f"factor_{f}"
+        if h_f <= 1e-12:  # constant factor: nothing to disentangle
+            out[name] = {"nmi": 0.0, "position": -1, "gap": 0.0,
+                         "purity": 1.0, "baseline": 1.0, "entropy": 0.0}
+            continue
+        mis = np.zeros(s)
+        for pos in range(s):
+            keep = mask[:, pos]
+            if keep.sum() < 2:
+                continue
+            c, l = codes[keep, pos], lab[keep]
+            joint = np.zeros((n_e, len(vals)))
+            for vi, v in enumerate(vals):
+                joint[:, vi] = np.bincount(c[l == v], minlength=n_e)
+            joint /= max(joint.sum(), 1.0)
+            pc = joint.sum(1, keepdims=True)
+            pl = joint.sum(0, keepdims=True)
+            nz = joint > 0
+            mis[pos] = float((joint[nz] * np.log(joint[nz] / (pc @ pl)[nz])).sum())
+        order = np.argsort(mis)[::-1]
+        top, second = mis[order[0]], (mis[order[1]] if s > 1 else 0.0)
+        # token-level purity: majority-vote factor value per code
+        keep = mask.reshape(-1)
+        c_all = codes.reshape(-1)[keep]
+        l_all = np.repeat(lab[:, None], s, axis=1).reshape(-1)[keep]
+        joint = np.zeros((n_e, len(vals)))
+        for vi, v in enumerate(vals):
+            joint[:, vi] = np.bincount(c_all[l_all == v], minlength=n_e)
+        tot = max(joint.sum(), 1.0)
+        purity = float(joint.max(1).sum() / tot)
+        baseline = float(joint.sum(0).max() / tot)
+        out[name] = {
+            "nmi": float(top / h_f),
+            "position": int(order[0]),
+            "gap": float((top - second) / h_f),
+            "purity": purity,
+            "baseline": baseline,
+            "entropy": h_f,
+        }
+    return out
 
 
 def unsupervised_vq_disentanglement(
@@ -62,6 +137,7 @@ def unsupervised_vq_disentanglement(
     woi_distrib: dict[str, list[int]] = {w: [] for w in words_of_interest}
     code_words: dict[int, set] = {k: set() for k in range(n_e)}
     seen_codes: set[int] = set()
+    all_codes, all_masks, all_labels = [], [], []
 
     for split in ("train", "val", "test"):
         ds = splits[split]
@@ -80,6 +156,10 @@ def unsupervised_vq_disentanglement(
                 ids = np.concatenate([ids, np.repeat(ids[:1], pad, axis=0)])
                 mask = np.concatenate([mask, np.repeat(mask[:1], pad, axis=0)])
             codes = np.asarray(infer(jnp.asarray(ids), jnp.asarray(mask)))[:m]
+            if ds.labels is not None:
+                all_codes.append(codes)
+                all_masks.append(np.asarray(mask[:m]))
+                all_labels.append(np.asarray(ds.labels[sl]))
 
             for row in range(m):
                 sent = sentences[row] if sentences else tokenizer.decode(ids[row])
@@ -101,6 +181,14 @@ def unsupervised_vq_disentanglement(
         w: {k: vals.count(k) for k in range(n_e)} for w, vals in woi_distrib.items()
     }
     code_words_out = {k: sorted(v) for k, v in code_words.items()}
+    factor_metrics = (
+        factor_code_metrics(
+            np.concatenate(all_codes), np.concatenate(all_masks),
+            np.concatenate(all_labels), n_e,
+        )
+        if all_codes
+        else None
+    )
 
     if results_dir is not None:
         os.makedirs(results_dir, exist_ok=True)
@@ -110,8 +198,11 @@ def unsupervised_vq_disentanglement(
             json.dump(histograms, f)
         with open(os.path.join(results_dir, "dSentences_vq_words_distrib.json"), "w") as f:
             json.dump(code_words_out, f)
+        if factor_metrics is not None:
+            with open(os.path.join(results_dir, "dSentences_vq_factor_metrics.json"), "w") as f:
+                json.dump(factor_metrics, f, indent=1)
 
-    return sorted(seen_codes), histograms, code_words_out
+    return sorted(seen_codes), histograms, code_words_out, factor_metrics
 
 
 def _main():
@@ -130,12 +221,19 @@ def _main():
     cfg, model, params = load_run(args.run_dir)
     splits, tokenizer = load_data(cfg)
     results_dir = args.results_dir or f"{args.run_dir}/unsupervised_vq_disentanglement"
-    codes, histograms, code_words = unsupervised_vq_disentanglement(
+    codes, histograms, code_words, metrics = unsupervised_vq_disentanglement(
         cfg, model, params, splits, tokenizer,
         results_dir=results_dir, lim_batches_pct=args.lim_batches_pct,
         batch_size=args.batch_size,
     )
     print(f"populated codes: {codes}")
+    if metrics is not None:
+        for name, m in metrics.items():
+            print(
+                f"  {name}: nmi={m['nmi']:.3f}@pos{m['position']} "
+                f"gap={m['gap']:.3f} purity={m['purity']:.3f} "
+                f"(baseline {m['baseline']:.3f})"
+            )
     print(f"results -> {results_dir}")
 
 

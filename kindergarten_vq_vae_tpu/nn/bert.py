@@ -463,13 +463,8 @@ def _fused_trunk_sharded(cfg: BertConfig, geom, x, smask, enc, emask, seeds,
     hashes LOCAL row ids, which repeat per shard)."""
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # moved in newer jax
-        from jax.shard_map import shard_map  # type: ignore
-
     from kindergarten_vq_vae_tpu.ops.layer_pallas import fused_bert_layer
-    from kindergarten_vq_vae_tpu.parallel.mesh import dp_axes
+    from kindergarten_vq_vae_tpu.parallel.mesh import dp_axes, shard_map_nocheck
 
     mesh = cfg.mesh
     axes = dp_axes(mesh)
@@ -518,11 +513,7 @@ def _fused_trunk_sharded(cfg: BertConfig, geom, x, smask, enc, emask, seeds,
         enc_spec = emask_spec = P()
 
     in_specs = (dp, dp, enc_spec, emask_spec, P()) + (P(),) * len(flat_w)
-    kwargs = dict(mesh=mesh, in_specs=in_specs, out_specs=dp)
-    try:
-        mapped = shard_map(fn, check_vma=False, **kwargs)
-    except TypeError:  # older jax spells it check_rep
-        mapped = shard_map(fn, check_rep=False, **kwargs)
+    mapped = shard_map_nocheck(fn, mesh=mesh, in_specs=in_specs, out_specs=dp)
     return mapped(x, smask, enc_in, emask_in, seeds, *flat_w)
 
 

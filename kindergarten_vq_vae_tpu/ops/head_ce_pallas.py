@@ -386,10 +386,7 @@ def fused_head_ce_loss_sharded(hidden, table, bias, target_ids, valid_row,
     shard_map transpose reduces their per-shard cotangents."""
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax.shard_map import shard_map
-    except ImportError:  # older jax
-        from jax.experimental.shard_map import shard_map  # type: ignore
+    from kindergarten_vq_vae_tpu.parallel.mesh import shard_map_nocheck
 
     s = hidden.shape[1]
     dp = P(dp_axes)
@@ -402,14 +399,9 @@ def fused_head_ce_loss_sharded(hidden, table, bias, target_ids, valid_row,
         )
         return part[None], ids
 
-    kwargs = dict(
-        mesh=mesh,
-        in_specs=(dp, dp, dp, P(), P(), P()),
+    mapped = shard_map_nocheck(
+        local, mesh=mesh, in_specs=(dp, dp, dp, P(), P(), P()),
         out_specs=(dp, dp),
     )
-    try:
-        mapped = shard_map(local, check_vma=False, **kwargs)
-    except TypeError:  # older jax spells it check_rep
-        mapped = shard_map(local, check_rep=False, **kwargs)
     parts, ids = mapped(hidden, target_ids, valid_row, table, bias, denom)
     return jnp.sum(parts), ids

@@ -238,10 +238,7 @@ def fused_vector_quantize_sharded(
     """
     from jax.sharding import PartitionSpec as P
 
-    try:
-        from jax.experimental.shard_map import shard_map
-    except ImportError:  # moved in newer jax
-        from jax.shard_map import shard_map  # type: ignore
+    from kindergarten_vq_vae_tpu.parallel.mesh import shard_map_nocheck
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -263,16 +260,9 @@ def fused_vector_quantize_sharded(
         )
 
     out_specs = (P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis), P(dp_axis))
-    try:
-        mapped = shard_map(
-            local, mesh=mesh, in_specs=(P(dp_axis), P()), out_specs=out_specs,
-            check_vma=False,  # pallas out_shapes carry no vma info
-        )
-    except TypeError:  # older jax spells it check_rep
-        mapped = shard_map(
-            local, mesh=mesh, in_specs=(P(dp_axis), P()), out_specs=out_specs,
-            check_rep=False,
-        )
+    mapped = shard_map_nocheck(
+        local, mesh=mesh, in_specs=(P(dp_axis), P()), out_specs=out_specs,
+    )
     z_q, d1s, d2s, idx, counts_s, sumz_s = mapped(z, codebook)
 
     numel = z.size

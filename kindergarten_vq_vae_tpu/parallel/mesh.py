@@ -26,6 +26,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def shard_map_nocheck(fn, mesh, in_specs, out_specs):
+    """Canonical shard_map entry for every module in this package.
+
+    One place owns the jax-version dance: modern jax exposes ``jax.shard_map``
+    as a function attribute (``from jax.shard_map import ...`` is a
+    ModuleNotFoundError, and ``jax.experimental.shard_map`` emits a
+    DeprecationWarning since v0.8). Replication checking is disabled because
+    our shard_mapped bodies run Pallas kernels whose out_shapes carry no
+    varying-manual-axes info (``check_vma`` on new jax, ``check_rep`` on old).
+    """
+    sm = getattr(jax, "shard_map", None)
+    if sm is None:  # pre-0.8 jax
+        from jax.experimental.shard_map import shard_map as sm  # type: ignore
+    try:
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_vma=False)
+    except TypeError:  # older jax spells it check_rep
+        return sm(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  check_rep=False)
+
+
 def init_distributed(
     coordinator_address: str | None = None,
     num_processes: int | None = None,

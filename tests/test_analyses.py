@@ -81,7 +81,7 @@ def test_disentanglement(splits, tiny_corpus, tmp_path):
     cfg = _tiny_cfg("shelgon3")
     model = build_model(cfg, "test")
     params = init_params(cfg, jax.random.key(0))
-    codes, histograms, code_words = unsupervised_vq_disentanglement(
+    codes, histograms, code_words, metrics = unsupervised_vq_disentanglement(
         cfg, model, params, splits, tiny_corpus["tokenizer"],
         results_dir=str(tmp_path), lim_batches_pct=0.2, batch_size=32,
     )
@@ -89,11 +89,40 @@ def test_disentanglement(splits, tiny_corpus, tmp_path):
     assert (tmp_path / "dSentences_words_of_interest_histograms.json").exists()
     assert (tmp_path / "dSentences_vq_words_distrib.json").exists()
     assert (tmp_path / "dSentences_vq_vector_populated.txt").exists()
+    # quantitative factor<->code metrics emitted alongside the histograms
+    assert (tmp_path / "dSentences_vq_factor_metrics.json").exists()
+    assert metrics is not None
+    for m in metrics.values():
+        assert 0.0 <= m["nmi"] <= 1.0 + 1e-9
+        assert 0.0 <= m["purity"] <= 1.0 + 1e-9
     # "i" is a word of interest present in the corpus -> histogram populated
     assert sum(histograms["i"].values()) > 0
     # every populated code maps to at least one word
     for c in codes:
         assert len(code_words[c]) > 0
+
+
+def test_factor_code_metrics_synthetic():
+    """Perfectly disentangled codes -> nmi/purity 1 at the right position;
+    codes independent of the factor -> nmi ~0 and purity ~baseline."""
+    from kindergarten_vq_vae_tpu.analyses.disentanglement import factor_code_metrics
+
+    rng = np.random.default_rng(0)
+    n, s, n_e = 600, 6, 9
+    labels = rng.integers(0, 3, size=(n, 2))
+    codes = rng.integers(0, n_e, size=(n, s))
+    codes[:, 2] = labels[:, 0] + 3  # factor 0 fully encoded at position 2
+    mask = np.ones((n, s), np.int32)
+    m = factor_code_metrics(codes, mask, labels, n_e,
+                            factor_names=("enc", "rand"))
+    assert m["enc"]["nmi"] > 0.999 and m["enc"]["position"] == 2
+    assert m["enc"]["gap"] > 0.9
+    assert m["rand"]["nmi"] < 0.05
+    assert abs(m["rand"]["purity"] - m["rand"]["baseline"]) < 0.05
+    # constant factor handled without div-by-zero
+    const = np.zeros((n, 1), np.int64)
+    mc = factor_code_metrics(codes, mask, const, n_e, factor_names=("c",))
+    assert mc["c"]["nmi"] == 0.0
 
 
 def test_latent_traversals_shelgon(splits, tiny_corpus):

@@ -77,7 +77,7 @@ def test_analyses_on_trained_run(trained_run):
     cfg, engine = trained_run
     cfg2, model, params = load_run(engine.run_path)
     splits, tokenizer = load_data(cfg)
-    codes, histograms, code_words = unsupervised_vq_disentanglement(
+    codes, histograms, code_words, _metrics = unsupervised_vq_disentanglement(
         cfg2, model, params, splits, tokenizer, lim_batches_pct=0.02, batch_size=64,
     )
     assert len(codes) >= 1
