@@ -33,7 +33,15 @@ import numpy as np
 FACTOR_SUPPORTS = (2, 2, 2, 2, 2, 3, 2, 3, 2)
 
 # verb pools keyed by verb_obj_interaction; forms: base, 3rd-sg present, past,
-# -ing participle.
+# -ing participle. Pool sizes (20 verbs x 21 objects per class) put the full
+# factorial at 2*20*21*576 = 483,840 raw -> 241,920 unique after the gender/
+# you-number surface collapse (exactly half: gender is inert outside 3rd-sg
+# and "you" sg/pl share a surface form) — the reference corpus's ~235k+
+# regime: its cross-attention extract consumes 69 x 2048 = 141k sentences of
+# the 60% train split (which is 145k here),
+# analyses/cross_attention/extract_model_cross_attention.py:59-60.
+# Verb/object identity within a pool is deliberately NOT a labeled factor,
+# matching real dSentences content variation.
 _VERBS = (
     (
         ("eat", "eats", "ate", "eating"),
@@ -41,6 +49,21 @@ _VERBS = (
         ("buy", "buys", "bought", "buying"),
         ("taste", "tastes", "tasted", "tasting"),
         ("like", "likes", "liked", "liking"),
+        ("want", "wants", "wanted", "wanting"),
+        ("serve", "serves", "served", "serving"),
+        ("order", "orders", "ordered", "ordering"),
+        ("share", "shares", "shared", "sharing"),
+        ("enjoy", "enjoys", "enjoyed", "enjoying"),
+        ("prepare", "prepares", "prepared", "preparing"),
+        ("sell", "sells", "sold", "selling"),
+        ("slice", "slices", "sliced", "slicing"),
+        ("bake", "bakes", "baked", "baking"),
+        ("grab", "grabs", "grabbed", "grabbing"),
+        ("choose", "chooses", "chose", "choosing"),
+        ("smell", "smells", "smelled", "smelling"),
+        ("pick", "picks", "picked", "picking"),
+        ("steal", "steals", "stole", "stealing"),
+        ("deliver", "delivers", "delivered", "delivering"),
     ),
     (
         ("build", "builds", "built", "building"),
@@ -48,12 +71,43 @@ _VERBS = (
         ("clean", "cleans", "cleaned", "cleaning"),
         ("move", "moves", "moved", "moving"),
         ("fix", "fixes", "fixed", "fixing"),
+        ("repair", "repairs", "repaired", "repairing"),
+        ("design", "designs", "designed", "designing"),
+        ("measure", "measures", "measured", "measuring"),
+        ("inspect", "inspects", "inspected", "inspecting"),
+        ("destroy", "destroys", "destroyed", "destroying"),
+        ("decorate", "decorates", "decorated", "decorating"),
+        ("polish", "polishes", "polished", "polishing"),
+        ("draw", "draws", "drew", "drawing"),
+        ("lift", "lifts", "lifted", "lifting"),
+        ("push", "pushes", "pushed", "pushing"),
+        ("examine", "examines", "examined", "examining"),
+        ("restore", "restores", "restored", "restoring"),
+        ("wash", "washes", "washed", "washing"),
+        ("carry", "carries", "carried", "carrying"),
+        ("open", "opens", "opened", "opening"),
     ),
 )
 
 _OBJECTS = (
-    (("apple", "apples"), ("cake", "cakes"), ("mango", "mangoes"), ("salad", "salads"), ("pizza", "pizzas")),
-    (("chair", "chairs"), ("house", "houses"), ("wall", "walls"), ("fence", "fences"), ("table", "tables")),
+    (
+        ("apple", "apples"), ("cake", "cakes"), ("mango", "mangoes"),
+        ("salad", "salads"), ("pizza", "pizzas"), ("banana", "bananas"),
+        ("cookie", "cookies"), ("sandwich", "sandwiches"), ("soup", "soups"),
+        ("pie", "pies"), ("orange", "oranges"), ("lemon", "lemons"),
+        ("burger", "burgers"), ("pancake", "pancakes"), ("muffin", "muffins"),
+        ("tomato", "tomatoes"), ("carrot", "carrots"), ("pear", "pears"),
+        ("melon", "melons"), ("peach", "peaches"), ("grape", "grapes"),
+    ),
+    (
+        ("chair", "chairs"), ("house", "houses"), ("wall", "walls"),
+        ("fence", "fences"), ("table", "tables"), ("door", "doors"),
+        ("window", "windows"), ("roof", "roofs"), ("floor", "floors"),
+        ("cabin", "cabins"), ("bridge", "bridges"), ("tower", "towers"),
+        ("shed", "sheds"), ("gate", "gates"), ("bench", "benches"),
+        ("garage", "garages"), ("ladder", "ladders"), ("porch", "porches"),
+        ("pillar", "pillars"), ("cottage", "cottages"), ("barn", "barns"),
+    ),
 )
 
 
@@ -127,8 +181,8 @@ def _render(subj: str, verb, obj: str, sentence_type: int, negation: int, tense:
 
 def generate_dsentences(
     out_dir: str | None = None,
-    num_verbs: int = 5,
-    num_objects: int = 5,
+    num_verbs: int = len(_VERBS[0]),
+    num_objects: int = len(_OBJECTS[0]),
 ):
     """Generate the full factorial corpus.
 

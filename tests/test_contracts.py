@@ -186,6 +186,11 @@ def test_cli_end_to_end_subprocess(tmp_path):
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # no TPU tunnel in the subprocess
+    # seed a tiny RAW corpus so the subprocess's generate-if-missing prep
+    # works on it instead of the full-scale (242k-sentence) default grammar
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+
+    generate_dsentences(str(tmp_path / "data"), num_verbs=1, num_objects=1)
     cmd = [
         sys.executable, os.path.join(repo, "models", "bagon", "main.py"),
         "--set", "vocab_size=128", "--set", "hidden_size=32",
