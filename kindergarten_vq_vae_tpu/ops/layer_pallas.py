@@ -52,9 +52,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from kindergarten_vq_vae_tpu.ops.sdpa_pallas import (
+    NEG_INF,
     _dropout_keep_scale,
     _resolve_interpret,
-    _tile_bias,
     _tile_geometry,
 )
 
@@ -241,22 +241,38 @@ def _attn_chunks(nc, tb):
     return nc, tb // nc
 
 
-def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
+def _attn_fwd_tile(q2, k2, v2, kv_mask, causal, seed, tile, op_base,
                    nh, hd, tb, s_q, s_k, rate, cdtype, nc, keep_p=False):
     """Block-diagonal attention over packed rows (same math as
     ops/sdpa_pallas._sdpa_fwd_kernel), chunked into nc-sentence diagonal
     blocks so the packed score matmuls waste O(nc) instead of O(tb).
     The chunked dropout hash is bit-identical to the unchunked one (the
     chunk-local tile index reproduces the same global row ids).
+
+    The bias is built CHUNK-LOCALLY from the (1, tb*s_k) key mask: the old
+    full-tile _tile_bias materialized (tb*s_q, tb*s_k) qpos/kpos/bias arrays
+    (28 MB of VPU work + VMEM at tb=128, S=12) of which only the diagonal
+    (rq, rk) chunk blocks were ever read. The chunk-local qpos/kpos formulas
+    are position-invariant across chunks (kpos[c*rq+r, c*rk+k] =
+    k - (r//s_q)*s_k for every c), so one (rq, rk) geometry + a per-chunk
+    key-mask AND reproduce the sliced values bit-exactly — including the
+    dropout stream, which hashes kpos VALUES and the global chunk index.
+
     Returns f32 (rows_q, H) context; with keep_p also the pre-dropout
     probability tiles (indexed [chunk][head]) for reuse in the backward."""
     scale = 1.0 / float(np.sqrt(hd))
     nc, n_chunks = _attn_chunks(nc, tb)
     rq, rk = nc * s_q, nc * s_k
+    qpos_c, kpos_c = _tile_geometry(nc, s_q, s_k)
+    ok_geo = (kpos_c >= 0) & (kpos_c < s_k)
+    if causal:
+        ok_geo = ok_geo & (qpos_c >= kpos_c)
     chunk_rows, pcache = [], []
     for c in range(n_chunks):
-        cbias = bias[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk]
-        ckpos = kpos[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk] if rate > 0.0 else None
+        kv = kv_mask[:, c * rk:(c + 1) * rk]  # (1, rk)
+        ok = ok_geo & jnp.broadcast_to(kv > 0, (rq, rk))
+        cbias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+        ckpos = kpos_c if rate > 0.0 else None
         ctile = tile * n_chunks + c
         parts, pch = [], []
         for h in range(nh):
@@ -285,18 +301,25 @@ def _attn_fwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base,
     return (ctx, pcache) if keep_p else ctx
 
 
-def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
+def _attn_bwd_tile(q2, k2, v2, kv_mask, causal, seed, tile, op_base, g_ctx,
                    nh, hd, tb, s_q, s_k, rate, cdtype, nc, p_cache=None):
-    """Backward of _attn_fwd_tile. g_ctx f32. Reuses p_cache from a
-    keep_p forward when given (saves the scores matmul + softmax per
-    chunk/head), else recomputes p. Returns f32 (dq, dk, dv), (rows, H)."""
+    """Backward of _attn_fwd_tile (same chunk-local bias construction).
+    g_ctx f32. Reuses p_cache from a keep_p forward when given (saves the
+    scores matmul + softmax per chunk/head), else recomputes p. Returns
+    f32 (dq, dk, dv), (rows, H)."""
     scale = 1.0 / float(np.sqrt(hd))
     nc, n_chunks = _attn_chunks(nc, tb)
     rq, rk = nc * s_q, nc * s_k
+    qpos_c, kpos_c = _tile_geometry(nc, s_q, s_k)
+    ok_geo = (kpos_c >= 0) & (kpos_c < s_k)
+    if causal:
+        ok_geo = ok_geo & (qpos_c >= kpos_c)
     dq_rows, dk_rows, dv_rows = [], [], []
     for c in range(n_chunks):
-        cbias = bias[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk]
-        ckpos = kpos[c * rq:(c + 1) * rq, c * rk:(c + 1) * rk] if rate > 0.0 else None
+        kv = kv_mask[:, c * rk:(c + 1) * rk]
+        ok = ok_geo & jnp.broadcast_to(kv > 0, (rq, rk))
+        cbias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+        ckpos = kpos_c if rate > 0.0 else None
         ctile = tile * n_chunks + c
         dq_parts, dk_parts, dv_parts = [], [], []
         for h in range(nh):
@@ -348,15 +371,16 @@ def _attn_bwd_tile(q2, k2, v2, bias, kpos, seed, tile, op_base, g_ctx,
     )
 
 
-def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
-                    skpos, ckpos, W, keep_p=False, skip_final=False):
+def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, smask_kv,
+                    cmask_kv, W, keep_p=False, skip_final=False):
     """Shared forward math (used by fwd kernel, and recomputed in bwd).
 
-    x: (rows, H) cdtype; enc: (rows_k, H) cdtype or None. Returns the final
-    output plus every residual the backward needs (all VMEM values).
-    skip_final stops before the last projection + LayerNorm (the lite
-    backward recovers them from the stored layer output instead — saves the
-    w2 matmul in every recompute)."""
+    x: (rows, H) cdtype; enc: (rows_k, H) cdtype or None; smask_kv/cmask_kv:
+    (1, tb*s) key masks (attention bias is built chunk-locally inside the
+    attention tiles). Returns the final output plus every residual the
+    backward needs (all VMEM values). skip_final stops before the last
+    projection + LayerNorm (the lite backward recovers them from the stored
+    layer output instead — saves the w2 matmul in every recompute)."""
     g = geom
     nh, hd, H = g.num_heads, g.head_dim, g.hidden
     cdtype = x.dtype
@@ -368,7 +392,7 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
     qkv_c = qkv.astype(cdtype)
     res["qkv_c"] = qkv_c
     q2, k2, v2 = qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:]
-    ctx = _attn_fwd_tile(q2, k2, v2, sbias, skpos, seed, tile, 0,
+    ctx = _attn_fwd_tile(q2, k2, v2, smask_kv, g.causal, seed, tile, 0,
                          nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype,
                          g.attn_chunk, keep_p)
     if keep_p:
@@ -392,7 +416,7 @@ def _layer_fwd_core(geom: LayerGeom, tb, seed, tile, x, enc, sbias, cbias,
         kvc = (_mm(enc, W["wkv"]) + W["bkv"]).astype(cdtype)
         res["qc"], res["kvc"] = qc, kvc
         kc, vc = kvc[:, :H], kvc[:, H:]
-        ctx2 = _attn_fwd_tile(qc, kc, vc, cbias, ckpos, seed, tile, nh + 1,
+        ctx2 = _attn_fwd_tile(qc, kc, vc, cmask_kv, False, seed, tile, nh + 1,
                               nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
                               g.attn_chunk, keep_p)
         if keep_p:
@@ -484,15 +508,11 @@ def _layer_fwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
     x = x_ref[:].reshape(rows, g.hidden)
     enc = enc_ref[:].reshape(tb * g.s_k, g.hidden) if g.has_cross else None
 
-    sqpos, skpos = _tile_geometry(tb, g.s_q, g.s_q)
-    sbias = _tile_bias(smask_ref, sqpos, skpos, tb, g.s_q, g.s_q, g.causal)
-    cbias = ckpos = None
-    if g.has_cross:
-        cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
-        cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
+    smask_kv = smask_ref[0]  # (1, tb*s_q)
+    cmask_kv = cmask_ref[0] if g.has_cross else None
 
     out, res = _layer_fwd_core(
-        g, tb, seed_ref[0], pl.program_id(0), x, enc, sbias, cbias, skpos, ckpos, W
+        g, tb, seed_ref[0], pl.program_id(0), x, enc, smask_kv, cmask_kv, W
     )
     out_ref[:] = out.reshape(tb, g.s_q, g.hidden).astype(out_ref.dtype)
     if save != "none":
@@ -565,12 +585,8 @@ def _layer_bwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
     enc = enc_ref[:].reshape(tb * g.s_k, H) if g.has_cross else None
     seed, tile = seed_ref[0], pl.program_id(0)
 
-    sqpos, skpos = _tile_geometry(tb, g.s_q, g.s_q)
-    sbias = _tile_bias(smask_ref, sqpos, skpos, tb, g.s_q, g.s_q, g.causal)
-    cbias = ckpos = None
-    if g.has_cross:
-        cqpos, ckpos = _tile_geometry(tb, g.s_q, g.s_k)
-        cbias = _tile_bias(cmask_ref, cqpos, ckpos, tb, g.s_q, g.s_k, False)
+    smask_kv = smask_ref[0]  # (1, tb*s_q)
+    cmask_kv = cmask_ref[0] if g.has_cross else None
 
     if save == "full":
         # rebuild the residual dict from the streamed fwd outputs — no
@@ -600,8 +616,8 @@ def _layer_bwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
         # before the final w2 projection + LayerNorm and recover that LN
         # from the stored layer output + streamed inv3 (saves a 58 GF
         # matmul per layer per backward at bert-base)
-        _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, sbias, cbias,
-                                 skpos, ckpos, W, keep_p=True, skip_final=True)
+        _, res = _layer_fwd_core(g, tb, seed, tile, x, enc, smask_kv,
+                                 cmask_kv, W, keep_p=True, skip_final=True)
         res["yhat3"] = _ln_recover_yhat(
             out_ref[:].reshape(rows, H), W["g3"], W["be3"]
         )
@@ -637,7 +653,7 @@ def _layer_bwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
         dctx2 = _mm_nt(da2_c, W["wco"])
         kvc = res["kvc"]
         dqc, dkc, dvc = _attn_bwd_tile(
-            res["qc"], kvc[:, :H], kvc[:, H:], cbias, ckpos, seed, tile,
+            res["qc"], kvc[:, :H], kvc[:, H:], cmask_kv, False, seed, tile,
             nh + 1, dctx2, nh, hd, tb, g.s_q, g.s_k, g.attn_rate, cdtype,
             g.attn_chunk, res.get("p_cross"),
         )
@@ -665,7 +681,7 @@ def _layer_bwd_kernel(geom: LayerGeom, save: str, seed_ref, *refs):
     dctx = _mm_nt(da1_c, W["wo"])
     qkv_c = res["qkv_c"]
     dq, dk, dv = _attn_bwd_tile(
-        qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:], sbias, skpos,
+        qkv_c[:, :H], qkv_c[:, H:2 * H], qkv_c[:, 2 * H:], smask_kv, g.causal,
         seed, tile, 0, dctx, nh, hd, tb, g.s_q, g.s_q, g.attn_rate, cdtype,
         g.attn_chunk, res.get("p_self"),
     )
@@ -684,10 +700,8 @@ def _attn_bwd_self_kernel(geom: LayerGeom, tb, seed_ref, qkv_ref, mask_ref,
     H = g.hidden
     qkv = qkv_ref[:].reshape(rows, 3 * H)
     gc = g_ref[:].reshape(rows, H).astype(jnp.float32)
-    qpos, kpos = _tile_geometry(tb, g.s_q, g.s_q)
-    bias = _tile_bias(mask_ref, qpos, kpos, tb, g.s_q, g.s_q, g.causal)
     dq, dk, dv = _attn_bwd_tile(
-        qkv[:, :H], qkv[:, H:2 * H], qkv[:, 2 * H:], bias, kpos,
+        qkv[:, :H], qkv[:, H:2 * H], qkv[:, 2 * H:], mask_ref[0], g.causal,
         seed_ref[0], pl.program_id(0), 0, gc, g.num_heads, g.head_dim,
         tb, g.s_q, g.s_q, g.attn_rate, qkv.dtype, g.attn_chunk,
     )
@@ -703,10 +717,8 @@ def _attn_bwd_cross_kernel(geom: LayerGeom, tb, seed_ref, q_ref, kv_ref,
     q = q_ref[:].reshape(rows, H)
     kv = kv_ref[:].reshape(tb * g.s_k, 2 * H)
     gc = g_ref[:].reshape(rows, H).astype(jnp.float32)
-    qpos, kpos = _tile_geometry(tb, g.s_q, g.s_k)
-    bias = _tile_bias(mask_ref, qpos, kpos, tb, g.s_q, g.s_k, False)
     dq, dk, dv = _attn_bwd_tile(
-        q, kv[:, :H], kv[:, H:], bias, kpos,
+        q, kv[:, :H], kv[:, H:], mask_ref[0], False,
         seed_ref[0], pl.program_id(0), g.num_heads + 1, gc, g.num_heads,
         g.head_dim, tb, g.s_q, g.s_k, g.attn_rate, q.dtype, g.attn_chunk,
     )

@@ -57,6 +57,8 @@ def main():
 
     from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
 
+    params0 = params  # keep the init tree for the mesh-path parity check
+
     @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def step(params, opt_state, batch, i):
         key = jax.random.fold_in(jax.random.key(1), i)
@@ -67,7 +69,8 @@ def main():
 
     params, opt_state, loss = step(params, opt_state, batch, 0)
     jax.block_until_ready(loss)
-    assert np.isfinite(float(loss)), "non-finite train loss"
+    loss0 = float(loss)
+    assert np.isfinite(loss0), "non-finite train loss"
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
@@ -75,6 +78,48 @@ def main():
     jax.block_until_ready((params, loss))
     dt = (time.perf_counter() - t0) / n
     print(f"flagship train step: {dt * 1e3:.2f} ms -> {512 / dt:.0f} sentences/sec, loss {float(loss):.4f}")
+
+    # 3. the MESH path on silicon: 1-device dp mesh, full sharded train step
+    # (_fused_trunk_sharded + fused_vector_quantize_sharded +
+    # fused_head_ce_loss_sharded) COMPILED, not interpret-mode — the only
+    # hardware validation of the shard_map'd custom-call compositions the
+    # virtual-CPU tests exercise (this backend has measured on-chip-only
+    # custom-call failure modes, see CLAUDE.md).
+    from kindergarten_vq_vae_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    mesh = make_mesh((1,), ("dp",))
+    loss_fn_m = make_loss_fn(cfg, "train", mesh=mesh)
+    params_m = shard_params(mesh, params0)
+    opt_state_m = tx.init(params_m)
+    batch_m = shard_batch(mesh, {k: np.asarray(v) for k, v in batch.items()})
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
+    def step_m(params, opt_state, batch, i):
+        key = jax.random.fold_in(jax.random.key(1), i)
+        rngs = dict(zip(("dropout", "gumbel", "perturb"), jax.random.split(key, 3)))
+        (loss, _), grads = jax.value_and_grad(loss_fn_m, has_aux=True)(params, batch, rngs, False)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    params_m, opt_state_m, loss_m = step_m(params_m, opt_state_m, batch_m, 0)
+    jax.block_until_ready(loss_m)
+    loss_m0 = float(loss_m)
+    assert np.isfinite(loss_m0), "non-finite mesh-path train loss"
+    # same init/batch/rng as the unmeshed first step; a 1-wide dp shard folds
+    # index 0 into the dropout seeds, so the paths differ only by kernel
+    # composition (fused head+CE vs XLA head + streaming CE) -> loose gate
+    rel = abs(loss_m0 - loss0) / max(abs(loss0), 1e-6)
+    assert rel < 2e-2, f"mesh-path loss {loss_m0:.4f} vs unmeshed {loss0:.4f} ({rel:.1%})"
+    t0 = time.perf_counter()
+    for i in range(n):
+        params_m, opt_state_m, loss_m = step_m(params_m, opt_state_m, batch_m, i + 1)
+    jax.block_until_ready((params_m, loss_m))
+    dt_m = (time.perf_counter() - t0) / n
+    print(
+        f"mesh(1-dev dp) train step: {dt_m * 1e3:.2f} ms -> {512 / dt_m:.0f} "
+        f"sentences/sec, loss {float(loss_m):.4f} (unmeshed first-step loss "
+        f"{loss0:.4f} vs mesh {loss_m0:.4f})"
+    )
     print("TPU SMOKE OK")
 
 
