@@ -58,7 +58,7 @@ def bench_tpu_train() -> float:
     from kindergarten_vq_vae_tpu.train.config import OptimConfig
 
     cfg = RunConfig(
-        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused=True),
+        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused="auto"),
         data=DataConfig(batch_size=BATCH, tokenized_sentence_max_length=SEQ),
         # env knob for optimizer-path A/Bs only; the official driver run
         # uses the default ("auto" -> resolve_fused_update policy)

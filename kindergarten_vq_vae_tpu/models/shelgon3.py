@@ -34,11 +34,31 @@ from kindergarten_vq_vae_tpu.ops.vq_pallas import (
 )
 
 
+# Measured crossover for the unmeshed fused-kernel-vs-oracle choice
+# (scripts/ab_vq_tile.py, DCE-fair: loss+perplexity consumed, quiet chip,
+# 2026-08-20): at (12288, 768)x9 the XLA-fused jnp oracle wins (266.7 us vs
+# 342.1/331.4 us at block_rows 512/1024 — the kernel re-reads z per pass
+# while XLA fuses the distance+argmin+losses into fewer passes at large row
+# counts); at (3072, 768)x9 and below the fused kernel wins (dispatch- and
+# fusion-boundary-bound regime, RESULTS.md round 2: 1.45-1.6x). block_rows
+# >= 2048 exceeds the default 16 MiB scoped-vmem budget (compile error).
+VQ_FUSED_MAX_ROWS = 8192
+
+
+def resolve_vq_fused(use, rows: int, meshed: bool) -> bool:
+    """The vq_use_fused policy: True/False are forced; "auto" follows the
+    measured crossover (fused under a dp mesh or below VQ_FUSED_MAX_ROWS
+    rows, jnp oracle at flagship row counts)."""
+    if use == "auto":
+        return meshed or rows <= VQ_FUSED_MAX_ROWS
+    return bool(use)
+
+
 class VectorQuantizerModule(nn.Module):
     n_e: int
     e_dim: int
     beta: float
-    use_fused: bool = True
+    use_fused: object = "auto"  # "auto" | True | False
     ema_update: bool = False
     init_values: Optional[jnp.ndarray] = None
     # when a mesh with a dp axis is given, the fused kernel runs per-shard
@@ -61,12 +81,16 @@ class VectorQuantizerModule(nn.Module):
         axes = tuple(
             n for n in getattr(self.mesh, "axis_names", ()) if str(n).startswith("dp")
         )
-        if self.use_fused and self.mesh is not None and axes:
+        meshed = self.mesh is not None and bool(axes)
+        use = resolve_vq_fused(self.use_fused, z.shape[0] * z.shape[1], meshed)
+        if use and meshed:
+            # under a dp mesh the shard_map'd kernel is the only choice that
+            # avoids a GSPMD batch all-gather around the custom call
             return fused_vector_quantize_sharded(
                 z, codebook, self.beta, self.mesh,
                 axes if len(axes) > 1 else axes[0],
             )
-        quantize = fused_vector_quantize if self.use_fused else vector_quantize
+        quantize = fused_vector_quantize if use else vector_quantize
         return quantize(z, codebook, self.beta)
 
 
@@ -108,7 +132,7 @@ class Shelgon3(nn.Module):
     vq_temperature: float = 1.0
     vq_kl_div_scale: float = 5e-4
     vq_straight_through: bool = False
-    vq_use_fused: bool = True
+    vq_use_fused: object = "auto"  # "auto" | True | False (see VQ_FUSED_MAX_ROWS)
     vq_ema_update: bool = False
     vq_init_values: Optional[jnp.ndarray] = None
     vq_mesh: Optional[object] = None

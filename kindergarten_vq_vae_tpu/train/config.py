@@ -93,7 +93,10 @@ class ModelConfig:
     vq_temperature: float = 1.0
     vq_kl_div_scale: float = 5e-4
     vq_straight_through: bool = False
-    vq_use_fused: bool = True            # fused Pallas kernel vs jnp oracle
+    # "auto": fused Pallas kernel in the small/dispatch-bound regime and
+    # under a dp mesh; jnp oracle at flagship row counts (DCE-fair A/B,
+    # models/shelgon3.VQ_FUSED_MAX_ROWS). True/False force one path.
+    vq_use_fused: object = "auto"
     fused_ce: bool = True                # fused Pallas cross-entropy (flash-style)
     # fused MLM-head + CE + argmax (ops/head_ce_pallas.py): the loss path
     # never materializes (B*S, vocab) logits separately from their reductions.

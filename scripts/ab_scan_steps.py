@@ -40,7 +40,7 @@ def main():
     B, S, K = args.batch, 12, args.k
     assert args.steps % K == 0, "--steps must be a multiple of --k"
     cfg = RunConfig(
-        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused=True),
+        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused="auto"),
         data=DataConfig(batch_size=B, tokenized_sentence_max_length=S),
         optim=OptimConfig(),
     )

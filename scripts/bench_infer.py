@@ -37,7 +37,7 @@ def main():
     B, S = args.batch, 12
     cfg = RunConfig(
         model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16",
-                          vq_use_fused=True),
+                          vq_use_fused="auto"),
         data=DataConfig(batch_size=B, tokenized_sentence_max_length=S),
     )
     model = build_model(cfg)

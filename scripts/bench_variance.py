@@ -84,7 +84,7 @@ def main():
 
     B, S = bench.BATCH, bench.SEQ
     cfg = RunConfig(
-        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused=True),
+        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused="auto"),
         data=DataConfig(batch_size=B, tokenized_sentence_max_length=S),
     )
     loss_fn = make_loss_fn(cfg, "train")

@@ -42,7 +42,7 @@ def main():
     from kindergarten_vq_vae_tpu.train.variants import init_params, make_loss_fn
 
     cfg = RunConfig(
-        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused=True),
+        model=ModelConfig(model_name="shelgon3", compute_dtype="bfloat16", vq_use_fused="auto"),
         data=DataConfig(batch_size=512, tokenized_sentence_max_length=12),
     )
     params = init_params(cfg, jax.random.key(0))

@@ -135,6 +135,22 @@ def test_fused_vq_jit_and_oddsizes():
     assert float(jnp.sum(counts)) == z.shape[0] * z.shape[1]
 
 
+def test_vq_fused_auto_policy():
+    """'auto' follows the measured crossover (RESULTS.md round-4 DCE-fair
+    A/B): fused below VQ_FUSED_MAX_ROWS or under a dp mesh, oracle at
+    flagship row counts; True/False force."""
+    from kindergarten_vq_vae_tpu.models.shelgon3 import (
+        VQ_FUSED_MAX_ROWS,
+        resolve_vq_fused,
+    )
+
+    assert resolve_vq_fused("auto", VQ_FUSED_MAX_ROWS, meshed=False)
+    assert not resolve_vq_fused("auto", 12288, meshed=False)  # flagship shape
+    assert resolve_vq_fused("auto", 12288, meshed=True)
+    assert resolve_vq_fused(True, 1 << 20, meshed=False)
+    assert not resolve_vq_fused(False, 8, meshed=False)
+
+
 def test_init_codebook():
     key = jax.random.key(0)
     e = init_codebook(key, 10, 16)
