@@ -70,6 +70,9 @@ def main():
                     help="train/val/test batch fraction per epoch (smoke runs)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (before any backend init)")
+    ap.add_argument("--data-dir", default=None,
+                    help="override data_dir (smoke tests point this at a "
+                    "tiny generated corpus instead of the full-scale one)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -109,6 +112,8 @@ def main():
             lim_batches_val_pct=args.lim_batches,
             lim_batches_test_pct=args.lim_batches,
         )
+        if args.data_dir:
+            flat.update(data_dir=args.data_dir)
         if args.tiny:
             flat.update(hidden_size=256, num_layers=4, num_heads=4,
                         intermediate_size=512, vq_e_dim=256, enc_out_size=256,

@@ -21,18 +21,26 @@ def test_flagship_pipeline_tiny_cpu(tmp_path):
     repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
     out = tmp_path / "flagship.json"
     runs = tmp_path / "runs"
+    # tiny raw corpus in an isolated data dir: the repo's ./data/dSentences
+    # is the full-scale (242k-sentence) corpus since round 4 — far too big
+    # for a CPU smoke of the whole 4-stage pipeline
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+
+    data_dir = tmp_path / "data"
+    generate_dsentences(str(data_dir), num_verbs=1, num_objects=1)
     res = subprocess.run(
         [
             sys.executable, os.path.join(repo, "scripts", "flagship_quality.py"),
             "--tiny", "--cpu",
             "--bagon-epochs", "1", "--vq-epochs", "1",
-            "--lim-batches", "0.1",
+            "--lim-batches", "0.5",
             "--dec-perturb", "0.5",
             "--stage4-epochs", "1",
             "--runs-dir", str(runs),
+            "--data-dir", str(data_dir),
             "--out", str(out),
         ],
-        cwd=repo,  # reuse the prepared ./data/dSentences artifacts
+        cwd=repo,
         capture_output=True, text=True, timeout=1200,
     )
     assert res.returncode == 0, (
