@@ -36,15 +36,29 @@ class VQOutput(NamedTuple):
 
 
 def vector_quantize(z: jnp.ndarray, codebook: jnp.ndarray, beta: float) -> VQOutput:
-    """Quantize encoder output ``z`` (B, S, D) against ``codebook`` (n_e, D)."""
+    """Quantize encoder output ``z`` (B, S, D) against ``codebook`` (n_e, D).
+
+    Distances are computed on CENTERED values (codebook mean subtracted from
+    both z and E): argmin over ``|z - e_k|^2`` is exactly invariant to a
+    common shift, but the raw expansion ``|z|^2 + |e|^2 - 2 z.e`` loses all
+    resolution when codes sit close together far from the origin — measured
+    round 4: a trained bert-base encoder put rows at norm ~27.6 with
+    centroids ~0.06 apart, so the z.e term (~764) needed differences of
+    ~1.7 that the TPU's bf16 matmul passes (ulp 4 at that magnitude) cannot
+    represent — every row tied to code 0 and codebook perplexity read 1.0.
+    Centering makes magnitudes comparable to separations at any encoder
+    amplitude. Gradients are unaffected (distances only feed argmin)."""
     batch, seq_len, d = z.shape
     n_e = codebook.shape[0]
     z_flat = z.reshape(-1, d)
 
+    center = jax.lax.stop_gradient(jnp.mean(codebook, axis=0))
+    zc = jax.lax.stop_gradient(z_flat) - center
+    ec = codebook - center
     dist = (
-        jnp.sum(z_flat**2, axis=1, keepdims=True)
-        + jnp.sum(codebook**2, axis=1)
-        - 2.0 * z_flat @ codebook.T
+        jnp.sum(zc**2, axis=1, keepdims=True)
+        + jnp.sum(ec**2, axis=1)
+        - 2.0 * zc @ ec.T
     )
     indices = jnp.argmin(dist, axis=1)
     one_hot = jax.nn.one_hot(indices, n_e, dtype=z.dtype)
@@ -127,12 +141,20 @@ def kmeans_codebook_init(
     m = z_flat.shape[0]
     init_idx = jax.random.choice(key, m, (n_e,), replace=False)
     centroids = z_flat[init_idx]
+    # assignments on data centered by the GLOBAL mean: Lloyd is exactly
+    # shift-invariant, and a trained encoder puts all rows on a tight shell
+    # far from the origin where the raw |z|^2+|c|^2-2 z.c expansion is
+    # numerically blind (see vector_quantize) — uncentered, every Lloyd
+    # iteration assigns by rounding noise and the init never improves.
+    gmean = jnp.mean(z_flat, axis=0, keepdims=True)
+    zc = z_flat - gmean
 
     def body(_, cent):
+        cc = cent - gmean
         dist = (
-            jnp.sum(z_flat**2, axis=1, keepdims=True)
-            + jnp.sum(cent**2, axis=1)
-            - 2.0 * z_flat @ cent.T
+            jnp.sum(zc**2, axis=1, keepdims=True)
+            + jnp.sum(cc**2, axis=1)
+            - 2.0 * zc @ cc.T
         )
         assign = jnp.argmin(dist, axis=1)
         oh = jax.nn.one_hot(assign, n_e, dtype=z_flat.dtype)

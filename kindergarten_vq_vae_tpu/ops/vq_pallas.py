@@ -45,11 +45,21 @@ def _vq_kernel(n_e: int, block_rows: int, m_ref, z_ref, e_ref, zq_ref, idx_ref, 
     z = z_ref[:]                       # (TM, D) f32
     e = e_ref[:]                       # (NP, D) f32
 
-    # ||z||^2 + ||e||^2 - 2 z e^T   (VectorQuantizer.py:59-61)
-    zsq = jnp.sum(z * z, axis=1, keepdims=True)                  # (TM, 1)
-    esq = jnp.sum(e * e, axis=1)[None, :]                        # (1, NP)
+    # ||z||^2 + ||e||^2 - 2 z e^T   (VectorQuantizer.py:59-61), computed on
+    # CENTERED values (codebook mean subtracted from both sides): argmin is
+    # shift-invariant, but the raw expansion loses all resolution when the
+    # codes sit close together far from the origin (measured round 4: a
+    # trained bert-base encoder at row norm ~27.6 with centroids ~0.06
+    # apart needs distance differences ~100x below the matmul magnitude —
+    # see ops/vq.vector_quantize). zq/sumz/diff below use the RAW values.
+    rowi = jax.lax.broadcasted_iota(jnp.int32, e.shape, 0)
+    c = jnp.sum(jnp.where(rowi < n_e, e, 0.0), axis=0, keepdims=True) / n_e
+    zc = z - c
+    ec = e - c
+    zsq = jnp.sum(zc * zc, axis=1, keepdims=True)                # (TM, 1)
+    esq = jnp.sum(ec * ec, axis=1)[None, :]                      # (1, NP)
     cross = jax.lax.dot_general(
-        z, e, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        zc, ec, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )                                                            # (TM, NP)
     d = zsq + esq - 2.0 * cross
 

@@ -135,6 +135,47 @@ def test_fused_vq_jit_and_oddsizes():
     assert float(jnp.sum(counts)) == z.shape[0] * z.shape[1]
 
 
+def test_vq_distance_resolution_far_from_origin():
+    """Round-4 regression: a trained bert-base encoder puts rows on a tight
+    shell far from the origin (norm ~27.6, code separations ~0.06); the raw
+    |z|^2+|e|^2-2z.e expansion then needs differences far below the matmul
+    magnitude and assigns everything to code 0 (perplexity 1.0 measured on
+    TPU). Centered distances must recover the exact f64 assignments. The
+    synthetic case makes UNCENTERED f32 fail: offset 1e4, separations 1e-4
+    (cross-term differences ~768 < ulp(|z|^2)~8192)."""
+    rng = np.random.default_rng(7)
+    n_e, d, m = 9, 768, 256
+    # per-element offset 361 -> row norm ~1e4, |z|^2 ~1e8 (f32 ulp 8);
+    # center separations 1e-3/element -> distance-squared differences ~1e-3,
+    # 4 orders below the uncentered expansion's resolution, while every
+    # value is individually f32-representable (ulp(361) ~ 3e-5)
+    offset = 361.0
+    centers = offset + rng.normal(size=(n_e, d)) * 1e-3
+    assign_true = rng.integers(0, n_e, size=m)
+    z_flat = centers[assign_true] + rng.normal(size=(m, d)) * 2e-4
+    z = jnp.asarray(z_flat.reshape(1, m, d), jnp.float32)
+    e = jnp.asarray(centers, jnp.float32)
+
+    # exact f64 reference
+    d64 = ((z_flat[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+    ref = d64.argmin(1)
+    np.testing.assert_array_equal(ref, assign_true)
+
+    out = vector_quantize(z, e, 0.25)
+    np.testing.assert_array_equal(np.asarray(out.indices).reshape(-1), ref)
+    assert float(out.perplexity) > 5.0  # not collapsed to one code
+
+    fused = fused_vector_quantize(z, e, 0.25)
+    np.testing.assert_array_equal(np.asarray(fused.indices).reshape(-1), ref)
+
+    # the on-device Lloyd recovers well-separated-in-relative-terms clusters
+    cb = kmeans_codebook_init(jax.random.key(0), jnp.asarray(z_flat, jnp.float32), n_e)
+    d_k = ((z_flat[:, None, :] - np.asarray(cb, np.float64)[None, :, :]) ** 2).sum(-1)
+    # every true cluster maps to a distinct learned centroid
+    learned = d_k.argmin(1)
+    assert len(np.unique(learned)) == n_e
+
+
 def test_vq_fused_auto_policy():
     """'auto' follows the measured crossover (RESULTS.md round-4 DCE-fair
     A/B): fused below VQ_FUSED_MAX_ROWS or under a dp mesh, oracle at
