@@ -97,11 +97,28 @@ def compute_codebook_init(
         d = codebook[:, None, :] - codebook[None, :, :]
         dist = np.sqrt((d * d).sum(-1))
         iu = np.triu_indices(n_e, 1)
+        # RELATIVE separation: ABSOLUTE centroid distances say nothing about
+        # separability (round 4: a trained bert-base encoder is perfectly
+        # separable at centroid distances ~0.06 once the VQ distances are
+        # centered, ops/vq.py). Compare the min centroid gap to the
+        # in-cluster RMS distance on a row subsample: ratio >> 1 = crisp
+        # clusters, << 1 = the codes sit inside the clusters' own noise.
+        samp = np.asarray(z_flat[:: max(1, z_flat.shape[0] // 65536)], np.float64)
+        c64 = np.asarray(codebook, np.float64)
+        gmean = samp.mean(0, keepdims=True)
+        d2 = (
+            ((samp - gmean) ** 2).sum(1, keepdims=True)
+            + ((c64 - gmean) ** 2).sum(1)
+            - 2.0 * (samp - gmean) @ (c64 - gmean).T
+        )
+        rms_in = float(np.sqrt(np.maximum(d2.min(1), 0.0).mean()))
         diag = {
             "encoder_per_element_std": z_std,
             "centroid_dist_min": float(dist[iu].min()),
             "centroid_dist_mean": float(dist[iu].mean()),
             "centroid_norm_mean": float(np.linalg.norm(codebook, axis=1).mean()),
+            "in_cluster_rms": rms_in,
+            "separation_ratio": float(dist[iu].min() / max(rms_in, 1e-12)),
         }
         print(f"[codebook_init] diagnostics: {diag}", flush=True)
         return codebook, diag

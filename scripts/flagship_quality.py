@@ -165,12 +165,16 @@ def main():
         "path": cb_path, "wall_s": round(time.time() - t0, 1), **diag
     }
     print(f"[flagship] stage 2 done: {cb_path}", flush=True)
-    if diag["centroid_dist_min"] < 1e-2:
-        # encoder-representation collapse: all centroids coincide, the VQ
-        # stage cannot recover utilization (RESULTS.md round 3) — fail fast
-        # instead of burning the vq-ft stage on a degenerate init.
+    if diag["separation_ratio"] < 0.1:
+        # encoder-representation collapse: the centroids sit deep inside the
+        # clusters' own noise (RELATIVE gate — absolute distances are
+        # meaningless now that centered VQ distances make small-amplitude
+        # geometry separable); the VQ stage cannot recover utilization
+        # (RESULTS.md round 3) — fail fast instead of burning the vq-ft
+        # stage on a degenerate init.
         print(f"[flagship] ABORT: degenerate codebook init "
-              f"(centroid_dist_min={diag['centroid_dist_min']:.2e}) — the "
+              f"(separation_ratio={diag['separation_ratio']:.3f}, "
+              f"centroid_dist_min={diag['centroid_dist_min']:.2e}) — the "
               f"Bagon encoder collapsed; raise --dec-perturb.", flush=True)
         print(json.dumps(summary))
         if args.out:

@@ -270,9 +270,13 @@ def test_codebook_init_kmeans(splits):
     # distinct centroids
     assert len(np.unique(cb.round(4), axis=0)) == 5
     # collapse detector: a random-init encoder is far from the degenerate
-    # regime (centroids coincide, per-element std ~0.01 — RESULTS.md round 3)
+    # regime (centroids coincide, per-element std ~0.01 — RESULTS.md round 3);
+    # the round-4 RELATIVE gate (centroid gap vs in-cluster noise) must
+    # clear its 0.1 abort threshold comfortably
     assert diag["centroid_dist_min"] > 1e-2
     assert diag["encoder_per_element_std"] > 0.05
+    assert diag["separation_ratio"] > 0.1
+    assert diag["in_cluster_rms"] > 0.0
 
 
 def test_compute_sentence_latents(splits):

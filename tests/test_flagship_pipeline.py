@@ -61,8 +61,8 @@ def test_flagship_pipeline_tiny_cpu(tmp_path):
     diag = summary["codebook_init"]
     assert os.path.exists(diag["path"])
     # a barely-trained encoder is far from collapsed: the fail-fast gate
-    # (centroid_dist_min < 1e-2 → exit 3) must NOT have fired
-    assert diag["centroid_dist_min"] >= 1e-2
+    # (separation_ratio < 0.1 → exit 3) must NOT have fired
+    assert diag["separation_ratio"] >= 0.1
 
     # stage 3: vq-ft ran on the warm start + k-means init
     vq = summary["shelgon3_vq_ft"]["test_stats"]
