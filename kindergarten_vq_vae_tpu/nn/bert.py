@@ -407,6 +407,21 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
     else:
         seeds = jnp.zeros((cfg.num_layers, 1), jnp.int32)
 
+    # The tile knobs are tuned in SENTENCES at the flagship S=12; what the
+    # kernels actually budget (VMEM residency, scoped-vmem stack) is ROWS
+    # = sentences * s_q. At longer padded lengths (shelgon/shelgon2 pad to
+    # 14) the same sentence count overflows: measured, the 32-sentence bwd
+    # tile at S=14 (448 rows vs the proven 384) exceeds the scoped-vmem
+    # limit by 257 KiB at bert-base. Hold the ROW budget across lengths
+    # (rows %% 8 for the Mosaic sublane rule).
+    def _row_capped(sentences: int, s_q: int) -> int:
+        if s_q <= 12:
+            return sentences
+        b = max(1, (sentences * 12) // s_q)
+        while b > 1 and (b * s_q) % 8:
+            b -= 1
+        return b
+
     geom = LayerGeom(
         num_heads=cfg.num_heads,
         head_dim=cfg.head_dim,
@@ -419,8 +434,8 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
         hid_rate=hid_rate,
         eps=cfg.layer_norm_eps,
         gelu_exact=cfg.gelu_exact,
-        block_b_fwd=cfg.layer_block_b_fwd,
-        block_b_bwd=cfg.layer_block_b_bwd,
+        block_b_fwd=_row_capped(cfg.layer_block_b_fwd, x.shape[1]),
+        block_b_bwd=_row_capped(cfg.layer_block_b_bwd, x.shape[1]),
         attn_chunk=cfg.layer_attn_chunk,
         attn_chunk_fwd=cfg.layer_attn_chunk_fwd,
     )
