@@ -696,6 +696,13 @@ class Engine:
                     best_flags.append(bool(flags.get(k)))
             stat_strs.append(f"acc: {stats['metric_acc']:08.4f}%")
             best_flags.append(bool(flags.get("metric_acc")))
+            # variant-specific accuracies (shelgon metric_acc_pred, shelgon2
+            # metric_latent_acc — the reference tracks these per epoch,
+            # shelgon/Trainer.py:134, shelgon2/Trainer.py:110)
+            for k in STAT_KEYS[self.model_name]:
+                if k.startswith("metric_") and "acc" in k and k != "metric_acc":
+                    stat_strs.append(f"{k[7:]}: {stats[k]:08.4f}%")
+                    best_flags.append(bool(flags.get(k)))
             if "metric_perp" in stats:
                 stat_strs.append(f"perp: {stats['metric_perp']:06.3f}")
                 best_flags.append(False)

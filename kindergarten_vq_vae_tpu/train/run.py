@@ -8,6 +8,7 @@ optimizer -> run dir + run_conf.json -> (wandb) -> train -> best-val reload
 
 from __future__ import annotations
 
+import json
 import os
 from datetime import datetime
 
@@ -193,6 +194,14 @@ def run_training(cfg: RunConfig, console_print: bool = True,
     engine.fit(wandb_run=wandb_run, console_print=console_print)
     engine.test(wandb_run=wandb_run, console_print=console_print)
     engine.dump_decoded_sentences()
+    # persist the full per-epoch stats (incl. variant metrics the console
+    # line abbreviates) so quality numbers are quotable from the run dir
+    # without re-running eval
+    try:
+        with open(os.path.join(run_path, "history.json"), "w") as f:
+            json.dump(engine.history, f, default=float)
+    except OSError:
+        pass
     if wandb_run is not None:
         wandb_run.finish()
     return engine
