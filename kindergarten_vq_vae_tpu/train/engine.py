@@ -367,7 +367,12 @@ class Engine:
             else:
                 aux = self._eval_steps[stage](params, device_batch, key)
             for k in stat_keys:
-                scale = 100.0 * n_valid if k == "metric_acc" else float(n_valid)
+                # every accuracy is a [0,1] fraction from seq_acc; report all
+                # of them in percent (previously only metric_acc was scaled,
+                # so shelgon's metric_acc_pred / shelgon2's metric_latent_acc
+                # read as fractions next to percent metric_acc)
+                is_acc = k.startswith("metric_") and "acc" in k
+                scale = 100.0 * n_valid if is_acc else float(n_valid)
                 if k == "padding_tokens_pct":
                     run[k] = run[k] + aux[k]
                 else:
