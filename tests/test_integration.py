@@ -27,6 +27,9 @@ def trained_run(tmp_path_factory):
         optim=OptimConfig(lr=1e-3),
         n_epochs=1, n_epochs_to_decode_after=1, runs_dir=str(tmp / "runs"),
     )
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+
+    generate_dsentences(str(tmp / "data"), num_verbs=1, num_objects=1)
     engine = run_training(cfg, console_print=False)
     return cfg, engine
 
@@ -141,6 +144,9 @@ def test_traversals_cli_entrypoint(tmp_path_factory, monkeypatch):
         optim=OptimConfig(lr=1e-3),
         n_epochs=1, n_epochs_to_decode_after=1, runs_dir=str(tmp / "runs"),
     )
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+
+    generate_dsentences(str(tmp / "data"), num_verbs=1, num_objects=1)
     engine = run_training(cfg, console_print=False)
     out = str(tmp / "traversals.json")
     _cli(traversals, [engine.run_path, "--n", "4", "--out", out], monkeypatch)

@@ -27,6 +27,9 @@ def served_run(tmp_path_factory):
         optim=OptimConfig(lr=1e-3),
         n_epochs=1, n_epochs_to_decode_after=10, runs_dir=str(tmp / "runs"),
     )
+    from kindergarten_vq_vae_tpu.data.generate import generate_dsentences
+
+    generate_dsentences(str(tmp / "data"), num_verbs=1, num_objects=1)
     engine = run_training(cfg, console_print=False)
     return engine.run_path
 
