@@ -42,6 +42,11 @@ from kindergarten_vq_vae_tpu.ops.vq_pallas import (
 # counts); at (3072, 768)x9 and below the fused kernel wins (dispatch- and
 # fusion-boundary-bound regime, RESULTS.md round 2: 1.45-1.6x). block_rows
 # >= 2048 exceeds the default 16 MiB scoped-vmem budget (compile error).
+# NOTE: the threshold is INTERPOLATED between the two measured A/B points
+# (fused wins at 3072 rows, oracle at 12288; RESULTS.md round-4 DCE-fair
+# table) — the exact crossover in the 3072-12288 band is unmeasured, so
+# "auto" may pick the slightly slower path there; both paths are correct
+# and within ~1.6x of each other at these sizes.
 VQ_FUSED_MAX_ROWS = 8192
 
 

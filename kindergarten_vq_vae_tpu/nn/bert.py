@@ -420,6 +420,14 @@ def _fused_trunk(module: nn.Module, cfg: BertConfig, x, attention_mask,
         b = max(1, (sentences * 12) // s_q)
         while b > 1 and (b * s_q) % 8:
             b -= 1
+        if (b * s_q) % 8:
+            # no b under the row budget satisfies the sublane rule (tiny
+            # configured tiles at s_q > 12, e.g. 2 sentences at S=14 -> 14
+            # rows); take the SMALLEST valid b above it instead — b=8 always
+            # satisfies (8*s_q) % 8 == 0, so this terminates within the
+            # proven 384-row budget for any realistic s_q
+            while (b * s_q) % 8:
+                b += 1
         return b
 
     geom = LayerGeom(

@@ -93,7 +93,15 @@ def compute_codebook_init(
     if return_diagnostics:
         # per-element std of encoder outputs across all (sentence, position)
         # rows: ~0.9 for a random-init encoder, ~0.01 in the collapsed mode
-        z_std = float(jnp.std(z_flat, axis=0).mean())
+        z_std = float(jnp.std(z_flat.astype(jnp.float32), axis=0).mean())
+        # per-element RMS amplitude: the scale bf16 activations resolve
+        # AGAINST. amplitude_ratio = std / rms is the one-number predictor
+        # of deterministic-eval VQ viability (RESULTS.md round 4): encoder
+        # variation below bf16's relative resolution (~2^-8) of the
+        # activation magnitude is erased by the bf16 trunk at eval time no
+        # matter how the (centered) distances are computed. Round-4 doomed
+        # run: 0.0014; round-3 healthy run: ~0.8.
+        z_rms = float(jnp.sqrt(jnp.mean(jnp.square(z_flat.astype(jnp.float32)))))
         d = codebook[:, None, :] - codebook[None, :, :]
         dist = np.sqrt((d * d).sum(-1))
         iu = np.triu_indices(n_e, 1)
@@ -114,6 +122,8 @@ def compute_codebook_init(
         rms_in = float(np.sqrt(np.maximum(d2.min(1), 0.0).mean()))
         diag = {
             "encoder_per_element_std": z_std,
+            "encoder_per_element_rms": z_rms,
+            "amplitude_ratio": z_std / max(z_rms, 1e-12),
             "centroid_dist_min": float(dist[iu].min()),
             "centroid_dist_mean": float(dist[iu].mean()),
             "centroid_norm_mean": float(np.linalg.norm(codebook, axis=1).mean()),

@@ -182,13 +182,33 @@ class RunConfig:
     n_epochs_to_decode_after: int = 5
     runs_dir: str = "./runs"
     export_checkpoint: bool = True
+    # Run the test stage after fit() (reference contract: best-val reload +
+    # test sweep, models/bagon/main.py:142-158). False skips it — the
+    # flagship pipeline's INTERMEDIATE stages consume only the best-val
+    # checkpoint, and at bert-base the test stage costs a ~4-7 min eval-step
+    # compile + a full test sweep per stage (round-4 overhead measurement).
+    test_stage: bool = True
+    # Decode + dump reconstructed sentences (decoded_sentences.feather,
+    # models/bagon/main.py:159-160). False skips both the per-batch host-side
+    # tokenizer decode and the end-of-run dump — at the 242k corpus the test
+    # decode dump is a 48k-sentence host loop through the ~1 ms-latency
+    # tunnel (round-4 overhead measurement). The feather contract stays the
+    # default; pipelines opt out per stage.
+    decode_dump: bool = True
     # Best-checkpoint write cadence. 1 = reference semantics (write every
     # improved slot every epoch, models/bagon/Trainer.py:188-209). N > 1
     # batches writes: improved slots are remembered and flushed with the
     # then-current params every N epochs and at the final epoch — for long
     # runs on hosts where a bert-base bundle write is expensive
-    # (scripts/flagship_quality.py uses this).
+    # (scripts/flagship_quality.py uses this). 0 = flush ONLY at the final
+    # epoch (one device->host fetch per run).
     ckpt_every_n_epochs: int = 1
+    # When non-empty, only these best slots are ever written, e.g.
+    # ("loss_recon:val",) — the flagship pipeline consumes exactly that one
+    # slot per stage, and every extra slot costs a hardlink + its share of
+    # the bundle write on this host's ~5 MB/s disk. Empty = all slots
+    # (reference semantics: one per tracked stat per stage).
+    ckpt_slots: tuple = ()
     # Async checkpoint IO: the device->host fetch stays synchronous (the
     # next step donates the param buffers) but the disk write runs on a
     # background thread (ckpt/checkpoint.AsyncCheckpointWriter) — on this
@@ -258,6 +278,7 @@ class RunConfig:
         out["mesh_shape"] = list(self.mesh_shape)
         out["mesh_axis_names"] = list(self.mesh_axis_names)
         out["milestones"] = list(self.optim.milestones)
+        out["ckpt_slots"] = list(self.ckpt_slots)
         return out
 
     def save(self, path: str, extra: dict | None = None) -> None:
@@ -285,7 +306,7 @@ class RunConfig:
 
         top_names = {f.name for f in dataclasses.fields(cls)} - {"model", "data", "optim"}
         top = {k: v for k, v in conf.items() if k in top_names}
-        for k in ("mesh_shape", "mesh_axis_names"):
+        for k in ("mesh_shape", "mesh_axis_names", "ckpt_slots"):
             if k in top and isinstance(top[k], list):
                 top[k] = tuple(top[k])
         return cls(model=pick(ModelConfig), data=pick(DataConfig), optim=pick(OptimConfig), **top)

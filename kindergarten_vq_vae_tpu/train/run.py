@@ -192,8 +192,10 @@ def run_training(cfg: RunConfig, console_print: bool = True,
     wandb_run = init_wandb(cfg, run_conf)
     maybe_log_code(cfg, wandb_run)
     engine.fit(wandb_run=wandb_run, console_print=console_print)
-    engine.test(wandb_run=wandb_run, console_print=console_print)
-    engine.dump_decoded_sentences()
+    if cfg.test_stage:
+        engine.test(wandb_run=wandb_run, console_print=console_print)
+    if cfg.decode_dump:
+        engine.dump_decoded_sentences()
     # persist the full per-epoch stats (incl. variant metrics the console
     # line abbreviates) so quality numbers are quotable from the run dir
     # without re-running eval

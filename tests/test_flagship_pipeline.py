@@ -52,20 +52,25 @@ def test_flagship_pipeline_tiny_cpu(tmp_path):
     assert set(summary) == {"bagon", "codebook_init", "shelgon3_vq_ft",
                             "shelgon3_stage4"}
 
-    # stage 1: finite stats and a reloadable best checkpoint consumed by 2+3
-    bagon = summary["bagon"]["test_stats"]
+    # stage 1: finite stats and a reloadable best checkpoint consumed by 2+3.
+    # The default pipeline is LEAN (VERDICT r4 #2): intermediate stages skip
+    # the test stage, so their quality numbers come from the last val sweep.
+    assert summary["bagon"]["eval_stage"] == "val"
+    bagon = summary["bagon"]["val_stats"]
     assert 0.0 <= bagon["metric_acc"] <= 100.0
     assert bagon["loss_recon"] > 0.0
 
     # stage 2: the codebook artifact + collapse diagnostics
     diag = summary["codebook_init"]
     assert os.path.exists(diag["path"])
-    # a barely-trained encoder is far from collapsed: the fail-fast gate
-    # (separation_ratio < 0.1 → exit 3) must NOT have fired
+    # a barely-trained encoder is far from collapsed: the fail-fast gates
+    # (separation_ratio < 0.1 → exit 3, amplitude_ratio < 2^-7 → exit 4)
+    # must NOT have fired
     assert diag["separation_ratio"] >= 0.1
+    assert diag["amplitude_ratio"] >= 2.0 ** -7
 
     # stage 3: vq-ft ran on the warm start + k-means init
-    vq = summary["shelgon3_vq_ft"]["test_stats"]
+    vq = summary["shelgon3_vq_ft"]["val_stats"]
     assert 0.0 <= vq["metric_acc"] <= 100.0
     assert 1.0 <= vq["metric_perp"] <= 9.0
 
