@@ -47,7 +47,12 @@ def _packed_core_kernel(nh, hd, tb, s, q_ref, k_ref, v_ref, m_ref, o_ref):
     """Head-lane packing at in-fused-layer conditions: q/k/v arrive as the
     layer kernel holds them — packed (tb*s, H) rows — and the block-diagonal
     structure is handled per key position j (each sentence's q rows see only
-    its own key j), matching ops/attention_pallas._mha_kernel's math."""
+    its own key j), matching ops/attention_pallas._mha_kernel's math.
+
+    The key mask arrives as (rows, s): m[r, j] = validity of key position j
+    for row r's sentence — per-j extraction is then a static column slice
+    (a (1, rows) -> (tb, s) reshape inside the kernel is an unsupported
+    Mosaic shape cast, measured on-chip)."""
     lanes = 128
     hidden = nh * hd
     rows = tb * s
@@ -61,9 +66,19 @@ def _packed_core_kernel(nh, hd, tb, s, q_ref, k_ref, v_ref, m_ref, o_ref):
     lane = jax.lax.broadcasted_iota(jnp.int32, (rows, lanes), 1)
     head_valid = lane < nh
 
-    kv = m_ref[0]  # (1, rows) key mask, row-major (sentence, key-pos)
+    kv = m_ref[0]  # (rows, s) key mask (see docstring)
 
-    scores = []
+    # SINGLE-PASS softmax over key positions: only z and acc stay live
+    # across j. The first (two-pass, max-subtracted) formulation kept all
+    # 12 (rows, 128) score tiles + exp tiles live through the unrolled
+    # loops — the register allocator spilled 113.6 MB of stack and the
+    # kernel exceeded the chip's entire 128 MB vmem (measured). Scores at
+    # S=12/hd=64 are O(10), so exp without max-subtraction is safe in f32;
+    # normalization happens once at the end (mathematically identical).
+    exp_h = sum_h.T  # (128, hidden)
+    exp_h32 = exp_h.astype(jnp.float32)
+    z = jnp.zeros((rows, lanes), jnp.float32)
+    acc = jnp.zeros((rows, hidden), jnp.float32)
     for j in range(s):
         k_j = k_ref[:].reshape(tb, s, hidden)[:, j, :]
         k_b = jnp.broadcast_to(k_j[:, None, :], (tb, s, hidden)).reshape(rows, hidden)
@@ -71,34 +86,25 @@ def _packed_core_kernel(nh, hd, tb, s, q_ref, k_ref, v_ref, m_ref, o_ref):
         s_j = jax.lax.dot_general(
             prod, sum_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
         ) * scale
-        kv_j = kv.reshape(tb, s)[:, j]  # (tb,)
-        kv_rows = jnp.broadcast_to(kv_j[:, None, None], (tb, s, 1)).reshape(rows, 1)
+        kv_rows = kv[:, j:j + 1]  # (rows, 1) static column slice
         s_j = jnp.where(kv_rows > 0, s_j, -1e9)
         s_j = jnp.where(head_valid, s_j, -1e9)
-        scores.append(s_j)
-
-    m = scores[0]
-    for j in range(1, s):
-        m = jnp.maximum(m, scores[j])
-    z = jnp.zeros_like(m)
-    es = []
-    for j in range(s):
-        e = jnp.exp(scores[j] - m)
-        es.append(e)
-        z = z + e
-    inv_z = 1.0 / z
-
-    exp_h = sum_h.T  # (128, hidden)
-    acc = jnp.zeros((rows, hidden), jnp.float32)
-    for j in range(s):
-        p_j = (es[j] * inv_z).astype(jnp.bfloat16)
+        e_j = jnp.exp(s_j)
+        z = z + e_j
         p_exp = jax.lax.dot_general(
-            p_j, exp_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            e_j.astype(jnp.bfloat16), exp_h,
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         v_j = v_ref[:].reshape(tb, s, hidden)[:, j, :]
         v_b = jnp.broadcast_to(v_j[:, None, :], (tb, s, hidden)).reshape(rows, hidden)
         acc = acc + p_exp * v_b.astype(jnp.float32)
-    o_ref[:] = acc.astype(o_ref.dtype)
+    # invalid head lanes never accumulate (exp_h row is all-zero) but their
+    # z is 0 — pin to 1 so inv_z stays finite through the expansion matmul
+    inv_z = 1.0 / jnp.where(head_valid, z, 1.0)
+    inv_exp = jax.lax.dot_general(
+        inv_z, exp_h32, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    o_ref[:] = (acc * inv_exp).astype(o_ref.dtype)
 
 
 def main():
@@ -124,31 +130,42 @@ def main():
     k = jnp.asarray(rng.normal(size=(grid * rows, hidden)), jnp.bfloat16)
     v = jnp.asarray(rng.normal(size=(grid * rows, hidden)), jnp.bfloat16)
     mask = jnp.ones((grid, 1, rows), jnp.int32)
+    # packed-core mask layout: (rows, s) per grid step (kernel docstring)
+    mask_rs = jnp.ones((grid, rows, s), jnp.int32)
 
     rowspec = pl.BlockSpec((rows, hidden), lambda i: (i, 0), memory_space=pltpu.VMEM)
     mspec = pl.BlockSpec((1, 1, rows), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mspec_rs = pl.BlockSpec((1, rows, s), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
 
-    def call(kernel_body):
+    def call(kernel_body, m_arr, m_spec):
         f = pl.pallas_call(
-            kernel_body, grid=(grid,), in_specs=[rowspec] * 3 + [mspec],
+            kernel_body, grid=(grid,), in_specs=[rowspec] * 3 + [m_spec],
             out_specs=rowspec,
             out_shape=jax.ShapeDtypeStruct((grid * rows, hidden), jnp.bfloat16),
             interpret=args.interpret,
         )
-        return lambda q, k, v: f(q, k, v, mask)
+        return lambda q, k, v: f(q, k, v, m_arr)
 
-    loop_fn = call(functools.partial(_loop_core_kernel, nh, hd, tb, s, args.nc))
-    packed_fn = call(functools.partial(_packed_core_kernel, nh, hd, tb, s))
+    loop_fn = call(functools.partial(_loop_core_kernel, nh, hd, tb, s, args.nc),
+                   mask, mspec)
+    packed_fn = call(functools.partial(_packed_core_kernel, nh, hd, tb, s),
+                     mask_rs, mspec_rs)
+
+    # raised scoped-vmem budget (CLAUDE.md: jits containing the fused
+    # kernels need it; the 128-sentence tile's VMEM stack is ~18 MiB)
+    from kindergarten_vq_vae_tpu.utils.compile import tpu_compiler_options
+
+    copts = tpu_compiler_options()
 
     # value parity (all-ones mask -> identical math up to bf16 rounding)
-    o_l = np.asarray(jax.jit(loop_fn)(q, k, v), np.float32)
-    o_p = np.asarray(jax.jit(packed_fn)(q, k, v), np.float32)
+    o_l = np.asarray(jax.jit(loop_fn, compiler_options=copts)(q, k, v), np.float32)
+    o_p = np.asarray(jax.jit(packed_fn, compiler_options=copts)(q, k, v), np.float32)
     err = np.max(np.abs(o_l - o_p))
     print(f"value parity: max abs diff {err:.3e}")
     assert err < 0.1, "core mismatch"
 
     def timed(fn, label):
-        @jax.jit
+        @functools.partial(jax.jit, compiler_options=copts)
         def chain(q0):
             def body(c, _):
                 out = fn(c, k, v)
