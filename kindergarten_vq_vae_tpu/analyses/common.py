@@ -29,6 +29,12 @@ def load_run(run_path: str, ckpt_name: str | None = None):
     if ckpt_name is None:
         ckpt_name = f"{cfg.model.model_name}_ckpt_loss_recon_val_best"
     params = restore_checkpoint(os.path.join(run_path, ckpt_name), template)
+    # device-resident ONCE: restore_checkpoint returns host numpy leaves,
+    # and passing those into a jitted batch loop re-transfers the whole
+    # param tree every call — ~450 MB/step through the TPU tunnel at
+    # bert-base (measured round 5: the flagship test sweep ran at 36
+    # sent/s instead of ~20k for exactly this reason).
+    params = jax.device_put(params)
     return cfg, model, params
 
 

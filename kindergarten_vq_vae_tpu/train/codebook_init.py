@@ -92,16 +92,25 @@ def compute_codebook_init(
         np.save(out_path, codebook)
     if return_diagnostics:
         # per-element std of encoder outputs across all (sentence, position)
-        # rows: ~0.9 for a random-init encoder, ~0.01 in the collapsed mode
-        z_std = float(jnp.std(z_flat.astype(jnp.float32), axis=0).mean())
-        # per-element RMS amplitude: the scale bf16 activations resolve
-        # AGAINST. amplitude_ratio = std / rms is the one-number predictor
-        # of deterministic-eval VQ viability (RESULTS.md round 4): encoder
-        # variation below bf16's relative resolution (~2^-8) of the
+        # rows: ~0.9 for a random-init encoder, ~0.01 in the collapsed mode.
+        # Also the per-element RMS amplitude: the scale bf16 activations
+        # resolve AGAINST. amplitude_ratio = std / rms is the one-number
+        # predictor of deterministic-eval VQ viability (RESULTS.md round 4):
+        # encoder variation below bf16's relative resolution (~2^-8) of the
         # activation magnitude is erased by the bf16 trunk at eval time no
         # matter how the (centered) distances are computed. Round-4 doomed
         # run: 0.0014; round-3 healthy run: ~0.8.
-        z_rms = float(jnp.sqrt(jnp.mean(jnp.square(z_flat.astype(jnp.float32)))))
+        # ONE jit for both stats: an eager z_flat.astype(f32) materializes a
+        # full second copy of the (N*S, 768) matrix (~4 GB at the large
+        # corpus) and OOMs the chip (measured round 5); inside jit the cast
+        # fuses into the reductions.
+        @jax.jit
+        def _amp_stats(z):
+            z32 = z.astype(jnp.float32)
+            return jnp.std(z32, axis=0).mean(), jnp.sqrt(jnp.mean(jnp.square(z32)))
+
+        z_std_d, z_rms_d = _amp_stats(z_flat)
+        z_std, z_rms = float(z_std_d), float(z_rms_d)
         d = codebook[:, None, :] - codebook[None, :, :]
         dist = np.sqrt((d * d).sum(-1))
         iu = np.triu_indices(n_e, 1)

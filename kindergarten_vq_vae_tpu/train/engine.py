@@ -641,6 +641,18 @@ class Engine:
             )
             if os.path.exists(path):
                 params = restore_checkpoint(path, self.state.params)
+                # restore_checkpoint returns HOST numpy leaves; put them on
+                # device once, or every eval step re-transfers the whole
+                # param tree (~450 MB/step at bert-base through the tunnel —
+                # measured round 5: the test sweep ran at 36 sent/s instead
+                # of ~20k, and round 4's 19-26 "sent/s" test numbers were
+                # this, not compile overhead)
+                if self.mesh is not None:
+                    from kindergarten_vq_vae_tpu.parallel.mesh import shard_params
+
+                    params = shard_params(self.mesh, params)
+                else:
+                    params = jax.device_put(params)
         iters = self._iterators()
         stats, _ = self._run_stage(
             "test", iters["test"], params, self.cfg.n_epochs, self.cfg.decode_dump
